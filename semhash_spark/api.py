@@ -1,0 +1,169 @@
+"""SparkSemHash — the facade mirroring the reference's public API.
+
+Reference surface (semhash/semhash.py):
+  from_records       -> SparkSemHash.fit(df)
+  from_embeddings    -> SparkSemHash.fit_embeddings(df, emb_col=...)
+  deduplicate        -> .deduplicate(query_df)
+  self_deduplicate   -> .self_deduplicate()
+  filter_outliers / self_filter_outliers
+  find_representative / self_find_representative
+
+The "fitted index" is not an ANN structure but a pair of persisted
+DataFrames: the exact-stage exemplars and their feature columns.
+The ranking memoization of the reference (semhash/semhash.py:41,
+498-518) maps to persisting the self-ranking DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semhash_spark.config import DedupConfig
+from semhash_spark.datamodels import DedupResult, FilterResultDF
+from semhash_spark.operators import dedup as dedup_ops
+from semhash_spark.operators import rank as rank_ops
+from semhash_spark.operators.exact import self_exact_dedup
+
+
+class SparkSemHash:
+    def __init__(self, cfg: DedupConfig | None = None, mode: str = "minhash") -> None:
+        self.cfg = cfg or DedupConfig()
+        self.mode = mode
+        self._df: DataFrame | None = None
+        self._exemplars: DataFrame | None = None
+        self._feats: DataFrame | None = None
+        self._ranking: DataFrame | None = None  # memoized self-ranking
+
+    # ------------------------------------------------------------ fit
+    def fit(self, df: DataFrame) -> "SparkSemHash":
+        """Exact-dedup + featurize exemplars (reference from_records,
+        semhash/semhash.py:43-98). ``df`` must carry cfg.id_col."""
+        cfg = self.cfg
+        self._df = df
+        keyed = self_exact_dedup(df, cfg.columns, cfg.id_col)
+        self._exemplars = keyed.where(~F.col("is_exact_dup")).persist()
+        self._feats = dedup_ops.add_features(self._exemplars, cfg, self.mode).persist()
+        return self
+
+    def fit_embeddings(self, df: DataFrame, emb_col: str = "embedding") -> "SparkSemHash":
+        """Reference from_embeddings (semhash/semhash.py:100-168):
+        precomputed vectors; keeps the FIRST (min record_id) row's
+        embedding per exact group."""
+        cfg = self.cfg.with_(embedding_col=emb_col)
+        self.cfg = cfg
+        self.mode = "cosine"
+        self._df = df
+        keyed = self_exact_dedup(df, cfg.columns, cfg.id_col)
+        self._exemplars = keyed.where(~F.col("is_exact_dup")).persist()
+        self._feats = self._exemplars.select(cfg.id_col, emb_col).persist()
+        return self
+
+    def _require_fit(self) -> None:
+        if self._df is None:
+            raise RuntimeError("call fit()/fit_embeddings() first")
+
+    # ---------------------------------------------------------- dedup
+    def self_deduplicate(
+        self, threshold: float | None = None, checkpointer=None
+    ) -> DedupResult:
+        self._require_fit()
+        return dedup_ops.self_deduplicate(
+            self._df, self.cfg, self.mode, threshold, checkpointer
+        )
+
+    def deduplicate(
+        self,
+        query_df: DataFrame,
+        threshold: float | None = None,
+        broadcast_query: bool = False,
+    ) -> DedupResult:
+        self._require_fit()
+        return dedup_ops.deduplicate(
+            query_df,
+            self._df,
+            self.cfg,
+            self.mode,
+            threshold,
+            index_feats=self._feats,
+            broadcast_query=broadcast_query,
+        )
+
+    # ----------------------------------------------------- rank-based
+    def _embedding_feats(self) -> DataFrame:
+        cfg = self.cfg
+        if self.mode == "cosine":
+            return self._feats
+        from semhash_spark.functions.encoder import featurize
+
+        return featurize(
+            self._exemplars, cfg.columns, cfg.embedding_dim, cfg.embedding_col
+        ).select(cfg.id_col, cfg.embedding_col)
+
+    def _query_embedding_feats(self, query_df: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.embedding_col in query_df.columns:
+            return query_df.select(cfg.id_col, cfg.embedding_col)
+        from semhash_spark.functions.encoder import featurize
+
+        return featurize(
+            query_df, cfg.columns, cfg.embedding_dim, cfg.embedding_col
+        ).select(cfg.id_col, cfg.embedding_col)
+
+    def self_rank(self) -> DataFrame:
+        """Memoized self-ranking (reference semhash.py:490-519)."""
+        self._require_fit()
+        if self._ranking is None:
+            feats = self._embedding_feats()
+            self._ranking = rank_ops.rank_by_avg_similarity(
+                feats, feats, self.cfg.rank_k, exclude_self=True,
+                id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+            ).persist()
+        return self._ranking
+
+    def rank(self, query_df: DataFrame) -> DataFrame:
+        self._require_fit()
+        q = self._query_embedding_feats(query_df)
+        return rank_ops.rank_by_avg_similarity(
+            q, self._embedding_feats(), self.cfg.rank_k, exclude_self=False,
+            id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+        )
+
+    def self_filter_outliers(self, outlier_percentage: float | None = None) -> FilterResultDF:
+        pct = self.cfg.outlier_percentage if outlier_percentage is None else outlier_percentage
+        inl, outl = rank_ops.filter_outliers(self.self_rank(), pct)
+        return FilterResultDF(selected=inl, filtered=outl)
+
+    def filter_outliers(
+        self, query_df: DataFrame, outlier_percentage: float | None = None
+    ) -> FilterResultDF:
+        pct = self.cfg.outlier_percentage if outlier_percentage is None else outlier_percentage
+        inl, outl = rank_ops.filter_outliers(self.rank(query_df), pct)
+        return FilterResultDF(selected=inl, filtered=outl)
+
+    def self_find_representative(
+        self,
+        selection_size: int | None = None,
+        candidate_limit: int | str = "auto",
+        diversity: float | None = None,
+    ) -> tuple[list[int], list[float], list[int]]:
+        k = self.cfg.selection_size if selection_size is None else selection_size
+        d = self.cfg.diversity if diversity is None else diversity
+        return rank_ops.find_representative(
+            self.self_rank(), self._embedding_feats(), k, candidate_limit, d,
+            id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+        )
+
+    def find_representative(
+        self,
+        query_df: DataFrame,
+        selection_size: int | None = None,
+        candidate_limit: int | str = "auto",
+        diversity: float | None = None,
+    ) -> tuple[list[int], list[float], list[int]]:
+        k = self.cfg.selection_size if selection_size is None else selection_size
+        d = self.cfg.diversity if diversity is None else diversity
+        return rank_ops.find_representative(
+            self.rank(query_df), self._query_embedding_feats(query_df), k,
+            candidate_limit, d, id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+        )

@@ -1,0 +1,79 @@
+"""Pipeline configuration.
+
+Mirrors the knobs of the reference library (MinishLab/semhash):
+``columns`` (semhash/semhash.py:28), ``threshold=0.9`` default
+(semhash/semhash.py:173), ``outlier_percentage=0.1``
+(semhash/semhash.py:384), ``selection_size=10`` / ``diversity=0.5``
+(semhash/semhash.py:331-333) — plus the scale-out knobs the reference
+does not need (shingling, MinHash/LSH banding, skew caps) because its
+in-memory ANN index plays that role.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the distributed dedup pipeline."""
+
+    # --- record semantics (reference: semhash/semhash.py:28,39) ---
+    columns: tuple[str, ...] = ("text",)
+    id_col: str = "record_id"
+
+    # --- similarity threshold (reference default 0.9, semhash.py:173) ---
+    threshold: float = 0.9
+
+    # --- shingling (scale path; no reference counterpart) ---
+    shingle_mode: str = "word"  # "word" | "char"
+    shingle_k: int = 3
+
+    # --- MinHash / LSH banding ---
+    num_perm: int = 128
+    bands: int = 32  # rows per band = num_perm // bands
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_bands: int = 4  # band count for hamming-candidate generation
+    simhash_max_hamming: int = 3
+
+    # --- skew handling ---
+    # buckets larger than this emit star edges (member -> bucket min-id)
+    # instead of all O(m^2) pairs; see operators/lsh.py.
+    bucket_cap: int = 1000
+
+    # --- embeddings ---
+    embedding_dim: int = 64
+    embedding_col: str = "embedding"
+    # random-hyperplane LSH for cosine candidates at scale
+    hyperplane_bits: int = 64
+    hyperplane_bands: int = 8
+    hyperplane_seed: int = 42
+
+    # --- ranking / filtering (reference: semhash.py:384,331-333) ---
+    rank_k: int = 100
+    outlier_percentage: float = 0.1
+    selection_size: int = 10
+    diversity: float = 0.5
+
+    # --- containment (substring) stage ---
+    containment_threshold: float = 0.9
+    anchor_mod: int = 8  # keep shingle hashes where h % anchor_mod == 0
+
+    # --- execution ---
+    checkpoint_dir: str | None = None
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.num_perm % self.bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        if not 0.0 <= self.threshold <= 1.0:
+            raise ValueError("threshold must be in [0, 1]")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.bands
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)

@@ -1,0 +1,147 @@
+"""Result surfaces mirroring the reference's datamodels.
+
+Reference: ``DeduplicationResult`` / ``DuplicateRecord`` /
+``SelectedWithDuplicates`` / ``FilterResult``
+(semhash/datamodels.py:15-181). Lists of records become DataFrames:
+
+* ``selected``   — kept input rows (all original columns).
+* ``filtered``   — dropped input rows + ``exemplar_id`` (the kept
+                   row they duplicate), ``exact`` flag, ``score``.
+* ``pairs``      — the full duplicate-edge relation
+                   (dup_id, kept_id/neighbor id, score, exact);
+                   the relational form of each DuplicateRecord's
+                   ``duplicates`` list.
+
+Derived stats/operations are lazy DataFrame programs; nothing here
+collects more than scalars or explicitly-bounded lists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DedupResult:
+    """Spark analogue of reference DeduplicationResult
+    (semhash/datamodels.py:53-149)."""
+
+    selected: DataFrame
+    filtered: DataFrame  # columns of input + exemplar_id, exact, score
+    pairs: DataFrame  # dup_id, other_id, score, exact
+    threshold: float
+    columns: tuple[str, ...]
+    id_col: str = "record_id"
+
+    # --- stats (reference :72-84) ---
+    def counts(self) -> tuple[int, int, int]:
+        n_sel = self.selected.count()
+        row = self.filtered.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.when(F.col("exact"), 1).otherwise(0)), F.lit(0)).alias("ne"),
+        ).collect()[0]
+        return n_sel, int(row["n"]), int(row["ne"])
+
+    @property
+    def duplicate_ratio(self) -> float:
+        n_sel, n_fil, _ = self.counts()
+        denom = n_sel + n_fil
+        return 1.0 - n_sel / denom if denom else 0.0
+
+    @property
+    def exact_duplicate_ratio(self) -> float:
+        n_sel, n_fil, n_exact = self.counts()
+        denom = n_sel + n_fil
+        return n_exact / denom if denom else 0.0
+
+    # --- inspection (reference :86-95) ---
+    def get_least_similar_from_duplicates(self, n: int = 1) -> DataFrame:
+        """Bottom-n duplicate pairs by score (TakeOrderedAndProject)."""
+        return self.pairs.orderBy(F.col("score").asc(), "dup_id", "other_id").limit(n)
+
+    # --- rethreshold (reference :97-109) ---
+    def rethreshold(self, threshold: float) -> "DedupResult":
+        """Raise the threshold; rows whose duplicate links all drop
+        move back to selected. Exact links (score 1.0) never drop —
+        matches reference semantics where exact DuplicateRecords keep
+        score-1.0 links."""
+        if threshold < self.threshold:
+            raise ValueError("Threshold is smaller than the given value.")
+        new_pairs = self.pairs.where(F.col("score") >= threshold)
+        still = new_pairs.select(F.col("dup_id").alias(self.id_col)).distinct()
+        back = self.filtered.join(still, self.id_col, "left_anti")
+        new_filtered = self.filtered.join(still, self.id_col, "left_semi")
+        sel_cols = self.selected.columns
+        new_selected = self.selected.unionByName(back.select(*sel_cols))
+        return replace(
+            self,
+            selected=new_selected,
+            filtered=new_filtered,
+            pairs=new_pairs,
+            threshold=threshold,
+        )
+
+    # --- selected_with_duplicates (reference :111-149) ---
+    def selected_with_duplicates(self, limit_per_group: int = 1000) -> DataFrame:
+        """Kept exemplar -> list of (dup_id, score) it absorbed.
+
+        ``collect_list`` bounded by ``slice`` — at scale the full
+        mapping stays relational in ``pairs``; this is the inspection
+        view."""
+        grouped = (
+            self.filtered.groupBy("exemplar_id")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(self.id_col).alias("dup_id"), "score"))
+                    ),
+                    1,
+                    limit_per_group,
+                ).alias("duplicates")
+            )
+        )
+        return self.selected.join(
+            grouped, self.selected[self.id_col] == grouped["exemplar_id"], "left"
+        ).drop("exemplar_id")
+
+    def stats_df(self) -> DataFrame:
+        n_sel, n_fil, n_exact = self.counts()
+        denom = n_sel + n_fil
+        spark = self.selected.sparkSession
+        return spark.createDataFrame(
+            [
+                (
+                    n_sel,
+                    n_fil,
+                    n_exact,
+                    (1.0 - n_sel / denom) if denom else 0.0,
+                    (n_exact / denom) if denom else 0.0,
+                    float(self.threshold),
+                )
+            ],
+            "n_selected long, n_filtered long, n_exact long, "
+            "duplicate_ratio double, exact_duplicate_ratio double, threshold double",
+        )
+
+
+@dataclass
+class FilterResultDF:
+    """Spark analogue of reference FilterResult
+    (semhash/datamodels.py:152-181): selected/filtered rows with a
+    ``score`` column instead of parallel score lists."""
+
+    selected: DataFrame
+    filtered: DataFrame
+
+    @property
+    def filter_ratio(self) -> float:
+        n_s, n_f = self.selected.count(), self.filtered.count()
+        denom = n_s + n_f
+        return n_f / denom if denom else 0.0
+
+    @property
+    def selected_ratio(self) -> float:
+        return 1.0 - self.filter_ratio

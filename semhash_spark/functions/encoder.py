@@ -1,0 +1,86 @@
+"""Deterministic hashing text encoder.
+
+Stand-in for the reference's model2vec static embedder
+(semhash/semhash.py:67-69): any object with
+``encode(list[str]) -> np.ndarray`` satisfies the reference's
+Encoder protocol (semhash/utils.py:13-28). This one is a token-hash
+bag-of-words into ``dim`` buckets with +/-1 signs, L2-normalized —
+mirroring the normalized 128-dim test model the reference pins its
+tests to (reference tests/data/test_model/config.json).
+
+The SAME numpy kernel runs inside the Spark pandas UDF (Arrow
+batches, vectorized per unique token) and inside the pytest oracle,
+so cosine scores agree bit-for-bit between pipeline and oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@lru_cache(maxsize=1 << 20)
+def _token_hash(token: str) -> int:
+    return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "little")
+
+
+def encode_texts(texts: list[str] | pd.Series, dim: int = 64) -> np.ndarray:
+    """Encode texts to L2-normalized float32 vectors, shape (n, dim)."""
+    if isinstance(texts, pd.Series):
+        texts = texts.fillna("").tolist()
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, text in enumerate(texts):
+        for tok in text.split():
+            h = _token_hash(tok)
+            idx = h % dim
+            sign = 1.0 if (h >> 8) & 1 else -1.0
+            out[i, idx] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+class HashingEncoder:
+    """Encoder-protocol object (reference semhash/utils.py:13-28)."""
+
+    def __init__(self, dim: int = 64) -> None:
+        self.dim = dim
+
+    def encode(self, sentences, **kwargs) -> np.ndarray:
+        if isinstance(sentences, str):
+            sentences = [sentences]
+        return encode_texts(list(sentences), self.dim)
+
+
+def embed_udf(dim: int = 64):
+    """Scalar pandas UDF: string column -> array<float> embedding.
+
+    Arrow-batched; the per-batch cost is one python loop over tokens
+    (the encoder), identical to the reference's batch
+    ``model.encode(texts)`` call shape (semhash/utils.py:79-82).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(s: pd.Series) -> pd.Series:
+        mat = encode_texts(s, dim)
+        return pd.Series(list(mat))
+
+    return _embed
+
+
+def featurize(df, columns, dim: int = 64, out_col: str = "embedding"):
+    """Concatenate per-column embeddings along the feature axis.
+
+    Mirrors reference ``featurize`` (semhash/utils.py:64-84): each
+    declared column is encoded separately and the vectors are
+    concatenated in ``columns`` order.
+    """
+    udf = embed_udf(dim)
+    parts = [udf(F.coalesce(F.col(c), F.lit("")).cast("string")) for c in columns]
+    emb = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return df.withColumn(out_col, emb)

@@ -1,0 +1,97 @@
+"""Text-analysis column functions for training-data pipelines.
+
+No counterpart in the reference library (it only dedups); these are
+the standard corpus-hygiene operators a 100 TB pretraining pipeline
+runs next to dedup. All JVM-side expressions (no UDFs) so they scan
+at parquet speed and are exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from semhash_spark.functions.hashing import tokens
+
+# tiny per-language stopword lists for the n-gram/lexicon language-ID
+# heuristic; deliberately small + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por", "como"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("it", "that", "for", "on", "with")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Rough BPE-style token estimate: alnum runs + punctuation marks.
+
+    ``regexp_count`` over ``[A-Za-z0-9]+|[^A-Za-z0-9\\s]`` — each
+    alphanumeric run and each standalone symbol counts as one token.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n > 0, F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic.
+
+    0.4 * length factor (saturating at 200 chars)
+    + 0.3 * (1 - punct_ratio clipped at 0.5 / 0.5)
+    + 0.3 * stopword factor (saturating at 0.2 stopword ratio).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    len_f = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_f = F.lit(1.0) - F.least(punct_ratio(c), F.lit(0.5)) / F.lit(0.5)
+    stop_f = F.least(stopword_ratio(c) / F.lit(0.2), F.lit(1.0))
+    return F.round(F.lit(0.4) * len_f + F.lit(0.3) * punct_f + F.lit(0.3) * stop_f, 6)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Lexicon-hit language ID: argmax of marker-word hits, 'und' if none.
+
+    Deterministic tie-break: language order as listed in LANG_MARKERS.
+    """
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # fold in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        marker = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker, t)))
+        cond = hits >= best_hits
+        best_lang = F.when(cond & (hits > 0), F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+    return best_lang
+
+
+def content_fingerprint(col: str | Column) -> Column:
+    """Whitespace-normalized sha256 document fingerprint (hex string).
+
+    Exact-dup fingerprint robust to whitespace runs; the rolling-hash
+    winnowing fingerprints live in operators/containment.py.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.trim(F.regexp_replace(c, r"\s+", " ")), 256)

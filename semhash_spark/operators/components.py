@@ -1,0 +1,101 @@
+"""Distributed connected components (alternating large-star/small-star).
+
+The reference resolves duplicate clusters with a greedy in-order
+seen-set scan on the driver (semhash/semhash.py:251-290). At
+10^12-row scale the equivalent is connected components over the
+verified duplicate-edge graph with ``cluster_id = min(record_id)``
+in each component — exemplar = cluster root, matching the
+reference's first-occurrence-wins intent (SURVEY.md §2.5 D2).
+
+Algorithm: the two-phase star contraction of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SOCC 2014) —
+O(log n) rounds even on chain graphs, each round two hash shuffles
+(groupBy min + join). Lineage is truncated every round with
+``localCheckpoint`` (on a cluster: checkpoint to the job's
+checkpoint dir) so plan size stays O(1) across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # for each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u
+    sym = _sym(e)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", "src").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # orient edges (u, v) with v <= u; m = min(N(u) ∪ {u}) = min(N(u));
+    # emit (v, m) for v in N(u) ∪ {u} \ {m}
+    o = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        o.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        nbr_edges.union(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # bit_xor is overflow-free under ANSI mode; edges are distinct so
+    # xor-cancellation of repeated rows cannot occur.
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, id_col: str = "record_id", max_iter: int = 50
+) -> DataFrame:
+    """Components of an undirected edge list (columns ``src``, ``dst``).
+
+    Returns (id_col, cluster_id) for every node APPEARING IN EDGES;
+    cluster_id = min node id of the component. Isolated nodes are
+    absent — callers left-join and coalesce to the node's own id.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    if prev[0] == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], f"{id_col} long, cluster_id long")
+
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: edges are (child -> root). Roots appear only as dst.
+    children = e.select(F.col("src").alias(id_col), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias(id_col), F.col("dst").alias("cluster_id")).distinct()
+    return children.union(roots).distinct()

@@ -1,0 +1,352 @@
+"""The flagship dedup pipelines.
+
+``self_deduplicate`` — reference semhash/semhash.py:233-300. The
+reference's greedy in-order seen-set scan becomes min-id connected
+components over the verified duplicate-edge graph (SURVEY.md §2.5 D2
+discusses the equivalence; parity is asserted against the pytest
+oracle, the scale target is dup-pair recall >= 0.99).
+
+``deduplicate`` (cross) — reference semhash/semhash.py:170-231. No
+clustering: a query row is filtered iff ANY fitted row matches at or
+above threshold (existential semi/anti-join split).
+
+Plan shape (self mode, minhash):
+
+  input ──exact stage (1 shuffle on exact_key)──► exemplars
+     exemplars ──shingles/signature (codegen, no shuffle)──►
+     band explode ──self-join on band key (1 shuffle, skew-guarded)──►
+     candidate pairs ──verify joins (2 shuffles)──► edges >= θ
+     edges ──large-star/small-star CC (O(log n) rounds)──► clusters
+     clusters ──join back (1 shuffle)──► selected / filtered / pairs
+
+Content and signatures never enter the band shuffle (ids+hashes
+only); the verify joins rehydrate features keyed by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semhash_spark.config import DedupConfig
+from semhash_spark.datamodels import DedupResult
+from semhash_spark.functions.encoder import featurize
+from semhash_spark.functions.hashing import (
+    hamming64,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    simhash_bands,
+)
+from semhash_spark.operators.components import connected_components
+from semhash_spark.operators.exact import cross_exact_split, self_exact_dedup
+from semhash_spark.operators.lsh import (
+    band_table,
+    candidate_pairs_cross,
+    candidate_pairs_self,
+    explode_band_array,
+)
+from semhash_spark.operators.verify import verify_cosine, verify_jaccard
+
+_TEXT_MODES = ("minhash", "simhash", "jaccard_exact")
+
+
+def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
+    """Attach the feature column(s) a mode needs.
+
+    minhash   -> shingles + sig        (JVM expressions)
+    simhash   -> shingles + sim64      (JVM expressions)
+    cosine    -> embedding             (pandas UDF hashing encoder)
+    jaccard_exact -> shingles only     (no signature; brute-force)
+    Multi-column records are rendered to one string per the reference
+    (tab-join, records.py:6-17) before shingling; for embeddings each
+    column is encoded separately and concatenated (utils.py:64-84).
+    """
+    if mode in _TEXT_MODES:
+        if len(cfg.columns) == 1:
+            text_col = cfg.columns[0]
+        else:
+            from semhash_spark.operators.ids import rendered_record
+
+            df = df.withColumn("_rendered", rendered_record(cfg.columns))
+            text_col = "_rendered"
+        df = df.withColumn(
+            "shingles", shingle_hashes(text_col, cfg.shingle_k, cfg.shingle_mode)
+        )
+        if mode == "minhash":
+            df = df.withColumn("sig", minhash_signature("shingles", cfg.num_perm))
+        elif mode == "simhash":
+            df = df.withColumn("sim64", simhash64("shingles"))
+        return df.drop("_rendered")
+    if mode == "cosine":
+        if cfg.embedding_col in df.columns:
+            return df
+        return featurize(df, cfg.columns, cfg.embedding_dim, cfg.embedding_col)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str) -> DataFrame:
+    if mode == "minhash":
+        bt = band_table(feats, "sig", cfg.bands, id_col)
+        return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+    if mode == "simhash":
+        banded = feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands))
+        bt = explode_band_array(banded, "shb", id_col)
+        pairs = candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+        sims = feats.select(id_col, "sim64")
+        pairs = (
+            pairs.join(sims.select(F.col(id_col).alias("a"), F.col("sim64").alias("_sa")), "a")
+            .join(sims.select(F.col(id_col).alias("b"), F.col("sim64").alias("_sb")), "b")
+            .where(hamming64("_sa", "_sb") <= cfg.simhash_max_hamming)
+            .select("a", "b")
+        )
+        return pairs
+    if mode in ("jaccard_exact", "cosine"):
+        # brute-force all-pairs: correctness baseline / small inputs.
+        ids = feats.select(F.col(id_col))
+        a = ids.select(F.col(id_col).alias("a"))
+        b = ids.select(F.col(id_col).alias("b"))
+        return a.crossJoin(b).where(F.col("a") < F.col("b"))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _verify(pairs: DataFrame, feats: DataFrame, cfg: DedupConfig, mode: str,
+            id_col: str, threshold: float, left: str = "a", right: str = "b") -> DataFrame:
+    if mode == "cosine":
+        return verify_cosine(pairs, feats, cfg.embedding_col, id_col, threshold, left, right)
+    return verify_jaccard(pairs, feats, "shingles", id_col, threshold, left, right)
+
+
+def self_deduplicate(
+    df: DataFrame,
+    cfg: DedupConfig,
+    mode: str = "minhash",
+    threshold: float | None = None,
+    checkpointer=None,
+    extra_edges: DataFrame | None = None,
+) -> DedupResult:
+    """Dedup within one table. ``df`` must carry ``cfg.id_col``.
+
+    :param extra_edges: optional additional duplicate edges (a, b,
+        score) to union in before clustering — the containment
+        (substring) stage feeds this.
+    """
+    threshold = cfg.threshold if threshold is None else threshold
+    id_col = cfg.id_col
+
+    def ck(name, build):
+        return checkpointer.stage(name, build) if checkpointer else build()
+
+    keyed = ck("exact", lambda: self_exact_dedup(df, cfg.columns, id_col))
+    exemplars = keyed.where(~F.col("is_exact_dup"))
+    exact_dups = keyed.where(F.col("is_exact_dup"))
+
+    # featurize exemplars only — the reference's "embed uniques only"
+    # optimization (semhash/semhash.py:71-88).
+    feat_cols = {
+        "minhash": ["shingles", "sig"],
+        "simhash": ["shingles", "sim64"],
+        "cosine": [cfg.embedding_col],
+        "jaccard_exact": ["shingles"],
+    }[mode]
+    feats = ck(
+        f"features_{mode}",
+        lambda: add_features(exemplars, cfg, mode).select(id_col, *feat_cols),
+    )
+    if checkpointer is None:
+        # materialize sketches so downstream band/verify joins read
+        # computed arrays instead of re-deriving them per reference
+        # (with a checkpointer the parquet stage plays this role)
+        feats = feats.persist()
+
+    cands = ck(f"candidates_{mode}", lambda: _candidates_self(feats, cfg, mode, id_col))
+    edges = ck(
+        f"edges_{mode}",
+        lambda: _verify(cands, feats, cfg, mode, id_col, threshold).select(
+            "a", "b", "score"
+        ),
+    )
+    if extra_edges is not None:
+        edges = edges.unionByName(extra_edges.select("a", "b", "score")).distinct()
+
+    cc = ck(
+        f"clusters_{mode}",
+        lambda: connected_components(
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")), id_col
+        ),
+    )
+
+    ex = exemplars.join(cc, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    sel = ex.where(F.col("cluster_id") == F.col(id_col)).drop(
+        "cluster_id", "exemplar_id", "is_exact_dup"
+    )
+
+    # best-neighbor score for each dropped exemplar
+    sym = edges.select(F.col("a").alias(id_col), F.col("b").alias("nbr"), "score").union(
+        edges.select(F.col("b").alias(id_col), F.col("a").alias("nbr"), "score")
+    )
+    best = sym.groupBy(id_col).agg(F.max("score").alias("best_score"))
+    sem_filtered = (
+        ex.where(F.col("cluster_id") != F.col(id_col))
+        .drop("exemplar_id", "is_exact_dup")
+        .withColumnRenamed("cluster_id", "exemplar_id")
+        .join(best, id_col, "left")
+        .withColumn("score", F.coalesce("best_score", F.lit(1.0)))
+        .drop("best_score")
+        .withColumn("exact", F.lit(False))
+    )
+    exact_filtered = (
+        exact_dups.drop("cluster_id", "is_exact_dup")
+        .withColumn("score", F.lit(1.0))
+        .withColumn("exact", F.lit(True))
+    )
+    filtered = exact_filtered.unionByName(sem_filtered)
+
+    sem_pairs = (
+        sym.join(
+            ex.where(F.col("cluster_id") != F.col(id_col)).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("dup_id"),
+            F.col("nbr").alias("other_id"),
+            "score",
+            F.lit(False).alias("exact"),
+        )
+    )
+    exact_pairs = exact_dups.select(
+        F.col(id_col).alias("dup_id"),
+        F.col("exemplar_id").alias("other_id"),
+        F.lit(1.0).alias("score"),
+        F.lit(True).alias("exact"),
+    )
+    pairs = exact_pairs.unionByName(sem_pairs)
+
+    if checkpointer:
+        checkpointer.write_metrics()
+    return DedupResult(
+        selected=sel,
+        filtered=filtered,
+        pairs=pairs,
+        threshold=threshold,
+        columns=tuple(cfg.columns),
+        id_col=id_col,
+    )
+
+
+def deduplicate(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    cfg: DedupConfig,
+    mode: str = "minhash",
+    threshold: float | None = None,
+    index_feats: DataFrame | None = None,
+    broadcast_query: bool = False,
+) -> DedupResult:
+    """Cross-dataset dedup of ``query_df`` against fitted ``index_df``.
+
+    Existential semantics (reference semhash.py:209-221): a query row
+    with ANY >=threshold neighbor in the index is filtered; no
+    clustering. ``exemplar_id`` = best-matching index row (max score,
+    ties to min id).
+    """
+    threshold = cfg.threshold if threshold is None else threshold
+    id_col = cfg.id_col
+
+    kept, exact_dups = cross_exact_split(query_df, index_df, cfg.columns, id_col)
+
+    # the index side collapses to exact-group exemplars before matching
+    idx_ex = self_exact_dedup(index_df, cfg.columns, id_col)
+    idx_exemplars = idx_ex.where(~F.col("is_exact_dup")).drop(
+        "exemplar_id", "is_exact_dup"
+    )
+
+    if index_feats is None:
+        index_feats = add_features(idx_exemplars, cfg, mode).persist()
+    q_feats = add_features(kept, cfg, mode).persist()
+
+    if mode == "minhash":
+        qb = band_table(q_feats, "sig", cfg.bands, id_col)
+        ib = band_table(index_feats, "sig", cfg.bands, id_col)
+        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query)
+    elif mode == "simhash":
+        qb = explode_band_array(
+            q_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
+        )
+        ib = explode_band_array(
+            index_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
+        )
+        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query)
+    else:  # brute force
+        cands = (
+            q_feats.select(F.col(id_col).alias("query_id"))
+            .crossJoin(index_feats.select(F.col(id_col).alias("index_id")))
+        )
+
+    # rehydrate: query features and index features are different tables
+    if mode == "cosine":
+        from semhash_spark.functions.vectors import cosine_similarity
+
+        fa = q_feats.select(F.col(id_col).alias("query_id"), F.col(cfg.embedding_col).alias("_fa"))
+        fb = index_feats.select(F.col(id_col).alias("index_id"), F.col(cfg.embedding_col).alias("_fb"))
+        scored = (
+            cands.join(fa, "query_id").join(fb, "index_id")
+            .withColumn("score", cosine_similarity("_fa", "_fb"))
+            .drop("_fa", "_fb")
+        )
+    else:
+        fa = q_feats.select(F.col(id_col).alias("query_id"), F.col("shingles").alias("_fa"))
+        fb = index_feats.select(F.col(id_col).alias("index_id"), F.col("shingles").alias("_fb"))
+        inter = F.size(F.array_intersect("_fa", "_fb"))
+        union = F.size(F.array_union("_fa", "_fb"))
+        scored = (
+            cands.join(fa, "query_id").join(fb, "index_id")
+            .withColumn("score", F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
+            .drop("_fa", "_fb")
+        )
+    hits = scored.where(F.col("score") >= threshold)
+
+    best = hits.groupBy("query_id").agg(
+        F.max_by(F.col("index_id"), F.struct(F.col("score"), -F.col("index_id"))).alias(
+            "exemplar_id"
+        ),
+        F.max("score").alias("score"),
+    )
+    sem_filtered = (
+        kept.join(best, kept[id_col] == best["query_id"], "inner")
+        .drop("query_id")
+        .withColumn("exact", F.lit(False))
+    )
+    selected = kept.join(hits.select("query_id").distinct(),
+                         kept[id_col] == F.col("query_id"), "left_anti")
+
+    exact_filtered = (
+        exact_dups.withColumn("score", F.lit(1.0)).withColumn("exact", F.lit(True))
+    )
+    filtered = exact_filtered.unionByName(sem_filtered)
+
+    pairs = hits.select(
+        F.col("query_id").alias("dup_id"),
+        F.col("index_id").alias("other_id"),
+        "score",
+        F.lit(False).alias("exact"),
+    ).unionByName(
+        exact_dups.select(
+            F.col(id_col).alias("dup_id"),
+            F.col("exemplar_id").alias("other_id"),
+            F.lit(1.0).alias("score"),
+            F.lit(True).alias("exact"),
+        )
+    )
+
+    return DedupResult(
+        selected=selected,
+        filtered=filtered,
+        pairs=pairs,
+        threshold=threshold,
+        columns=tuple(cfg.columns),
+        id_col=id_col,
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns.
+
+* ``brute_topk`` — exact cosine top-k via cross join + per-query
+  window. O(|Q|·|X|): the correctness baseline and the right plan
+  when one side is small enough to broadcast.
+* ``ivf_topk`` — the scale path: IVF (inverted-file) pruning.
+  Centroids are trained driver-side with deterministic k-means over
+  a bounded sample (<= ``train_cap`` rows collected), broadcast as a
+  literal array; each index vector is assigned to its nearest
+  centroid (JVM expression), queries probe the ``n_probe`` nearest
+  centroid cells only — turning the quadratic cross join into an
+  equi-join on cell id with ~n_probe/n_cells of the work.
+  Recall is tested against brute force in tests/test_knn.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semhash_spark.functions.vectors import cosine_similarity
+
+
+def brute_topk(
+    query: DataFrame,
+    index: DataFrame,
+    k: int,
+    exclude_self: bool = False,
+    id_col: str = "record_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    from semhash_spark.operators.rank import topk_scores
+
+    return topk_scores(query, index, k, exclude_self, id_col, emb_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def train_centroids(
+    index: DataFrame,
+    n_cells: int,
+    emb_col: str = "embedding",
+    iters: int = 10,
+    train_cap: int = 10000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means on a bounded sample (driver-side numpy).
+
+    Sampling is deterministic: the first ``train_cap`` rows by id —
+    at cluster scale swap for ``TABLESAMPLE`` with a fixed seed.
+    """
+    rows = index.select(emb_col).limit(train_cap).collect()
+    x = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.divide(x, norms, where=norms > 0)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def _nearest_cells_expr(emb_col: str, cents: np.ndarray, n: int):
+    """Array of the n nearest centroid ids for a vector column.
+
+    Centroids ship as a literal array<array<float>> (broadcast with
+    the plan); scoring is a JVM higher-order expression.
+    """
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c, i: F.struct(
+            cosine_similarity(F.col(emb_col), c).alias("s"), i.alias("cell")
+        ),
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+
+def ivf_topk(
+    query: DataFrame,
+    index: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+    id_col: str = "record_id",
+    emb_col: str = "embedding",
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    if cents is None:
+        cents = train_centroids(index, n_cells, emb_col)
+
+    idx = index.select(
+        F.col(id_col).alias("index_id"),
+        F.col(emb_col).alias("_ie"),
+        F.element_at(_nearest_cells_expr(emb_col, cents, 1), 1)["cell"].alias("cell"),
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        F.explode(
+            F.transform(
+                _nearest_cells_expr(emb_col, cents, n_probe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    pairs = q.join(idx, "cell")
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("index_id"))
+    scored = pairs.withColumn("score", cosine_similarity("_qe", "_ie")).select(
+        "query_id", "index_id", "score"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("index_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

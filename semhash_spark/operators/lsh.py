@@ -1,0 +1,101 @@
+"""LSH banding: signature -> band table -> candidate pairs.
+
+Replaces the reference's in-memory ANN index query
+(semhash/index.py:50-70) with a relational plan:
+
+    signature array --posexplode bands--> (record_id, band_idx, band_hash)
+    band table self-join on (band_idx, band_hash), a.id < b.id
+    --> distinct candidate pairs --> exact verification (verify.py)
+
+Skew: common-boilerplate buckets (license headers) are quadratic in
+bucket size. Buckets with more than ``bucket_cap`` members switch
+from all-pairs to STAR edges (every member -> the bucket's min-id
+member): O(m) edges that preserve connectivity for truly-duplicate
+mega-groups while bounding the join output. AQE skew-join splitting
+(on in session.py) handles residual partition skew. Only ids and
+band hashes flow through the shuffle — content/signatures are pruned
+before the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAND_COLS = ("band_idx", "band_hash")
+
+
+def band_table(
+    df: DataFrame, sig_col: str, bands: int, id_col: str = "record_id"
+) -> DataFrame:
+    """(record_id, band_idx, band_hash) — one row per band per record.
+
+    ``band_hash = xxhash64(slice(sig, b*rows+1, rows))`` hashes each
+    row-group of the MinHash signature; for SimHash/hyperplane bands
+    pass the band array column directly via ``explode_band_array``.
+    """
+    # "let g = sig in ..." binding: the signature expression is
+    # evaluated once per row even if Catalyst inlines it here.
+    sliced = F.expr(
+        f"""
+        element_at(transform(array({sig_col}), g ->
+          transform(sequence(0, {bands - 1}),
+            b -> xxhash64(slice(g, b * (size(g) div {bands}) + 1,
+                                size(g) div {bands})))), 1)
+        """
+    )
+    return df.select(F.col(id_col), F.posexplode(sliced).alias("band_idx", "band_hash"))
+
+
+def explode_band_array(
+    df: DataFrame, band_array_col: str, id_col: str = "record_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.posexplode(F.col(band_array_col)).alias("band_idx", "band_hash")
+    )
+
+
+def candidate_pairs_self(
+    bands_df: DataFrame, bucket_cap: int = 1000, id_col: str = "record_id"
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from a band table.
+
+    Small buckets -> all pairs; oversized buckets -> star edges to
+    the bucket min-id (skew guard, see module docstring).
+    """
+    sizes = bands_df.groupBy(*BAND_COLS).agg(
+        F.count("*").alias("bucket_n"), F.min(id_col).alias("bucket_min")
+    )
+    annotated = bands_df.join(sizes, list(BAND_COLS))
+
+    small = annotated.where((F.col("bucket_n") <= bucket_cap) & (F.col("bucket_n") > 1))
+    a = small.select(*BAND_COLS, F.col(id_col).alias("a"))
+    b = small.select(*BAND_COLS, F.col(id_col).alias("b"))
+    pairs_small = a.join(b, list(BAND_COLS)).where(F.col("a") < F.col("b"))
+
+    pairs_big = (
+        annotated.where(F.col("bucket_n") > bucket_cap)
+        .where(F.col(id_col) != F.col("bucket_min"))
+        .select(F.col("bucket_min").alias("a"), F.col(id_col).alias("b"))
+    )
+
+    return pairs_small.select("a", "b").union(pairs_big).distinct()
+
+
+def candidate_pairs_cross(
+    query_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "record_id",
+    broadcast_query: bool = False,
+) -> DataFrame:
+    """Distinct (query_id, index_id) candidate pairs across two sets.
+
+    ``broadcast_query=True`` for the reference benchmark shape
+    (small test set vs huge fitted index) — ships the query band
+    table to every executor, no shuffle of the index side.
+    """
+    q = query_bands.select(*BAND_COLS, F.col(id_col).alias("query_id"))
+    i = index_bands.select(*BAND_COLS, F.col(id_col).alias("index_id"))
+    if broadcast_query:
+        q = F.broadcast(q)
+    return q.join(i, list(BAND_COLS)).select("query_id", "index_id").distinct()

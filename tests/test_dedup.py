@@ -1,0 +1,170 @@
+"""Flagship pipeline parity vs the oracle.
+
+* cosine mode (hashing encoder both sides): STRICT equality of
+  selected sets / ratios vs the oracle's verbatim greedy port —
+  fixtures avoid >=4-chains, where greedy and min-id components are
+  provably identical.
+* minhash mode on the planted corpus: dup-pair recall >= 0.99
+  against the metric-agnostic greedy oracle run on EXACT Jaccard at
+  the same shingle config (the north-rule criterion).
+* invariants: selected ∪ filtered == input exactly; content sha256
+  preserved end-to-end.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semhash_spark.config import DedupConfig
+from semhash_spark.operators.dedup import deduplicate, self_deduplicate
+from semhash_spark.sources.corpus import generate_corpus
+from tests.oracle import OracleSemHash, greedy_self_dedup_ids, remove_exact_duplicates
+
+SENTS = [
+    "the quick brown fox jumps over the lazy dog tonight",       # 0 keep
+    "the quick brown fox jumps over the lazy dog today",         # 1 dup of 0
+    "the quick brown fox jumps over the lazy dog tonight",       # 2 exact dup of 0
+    "completely different words appear in this unrelated text",  # 3 keep
+    "completely different words appear in this unrelated text!", # 4 dup of 3
+    "yet another island of content with unique vocabulary",      # 5 keep
+    "numbers one two three four five six seven eight nine",      # 6 keep
+    "numbers one two three four five six seven eight ten",       # 7 dup of 6
+]
+
+
+def _sent_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SENTS)], "record_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DedupConfig(columns=("text",), threshold=0.8)
+
+
+def test_self_dedup_cosine_strict_parity(spark, cfg):
+    res = self_deduplicate(_sent_df(spark), cfg, mode="cosine", threshold=0.8)
+    got_sel = sorted(int(r["record_id"]) for r in res.selected.collect())
+
+    oracle = OracleSemHash([{"text": s} for s in SENTS], columns=["text"])
+    ores = oracle.self_deduplicate(threshold=0.8)
+    texts = [r["text"] for r in ores.selected]
+    want_sel = sorted(SENTS.index(t) for t in texts)  # first occurrence ids
+    assert got_sel == want_sel
+
+    n_sel, n_fil, n_exact = res.counts()
+    assert n_sel + n_fil == len(SENTS)
+    assert res.duplicate_ratio == pytest.approx(ores.duplicate_ratio)
+    assert res.exact_duplicate_ratio == pytest.approx(ores.exact_duplicate_ratio)
+
+
+def test_cross_dedup_cosine_strict_parity(spark, cfg):
+    index_df = _sent_df(spark)
+    q_sents = [
+        "the quick brown fox jumps over the lazy dog tonight",  # exact hit
+        "the quick brown fox jumps over a lazy dog tonight",    # semantic hit
+        "entirely novel query content nothing shared here",     # keep
+    ]
+    qdf = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(q_sents)], "record_id long, text string"
+    )
+    res = deduplicate(qdf, index_df, cfg, mode="cosine", threshold=0.8)
+    got_sel = sorted(int(r["record_id"]) for r in res.selected.collect())
+
+    oracle = OracleSemHash([{"text": s} for s in SENTS], columns=["text"])
+    ores = oracle.deduplicate([{"text": s} for s in q_sents], threshold=0.8)
+    want_sel = sorted(100 + q_sents.index(r["text"]) for r in ores.selected)
+    assert got_sel == want_sel
+    # exact flags agree
+    got_exact = {
+        int(r["record_id"]) for r in res.filtered.where("exact").collect()
+    }
+    want_exact = {100 + q_sents.index(r["text"]) for r, _, e in ores.filtered if e}
+    assert got_exact == want_exact
+
+
+def _py_shingles(text: str, k: int = 3) -> frozenset:
+    toks = text.split()
+    if len(toks) < k:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
+def test_self_dedup_minhash_pair_recall(spark):
+    """North-rule criterion: dup-pair recall >= 0.99 vs the greedy
+    reference semantics at the same shingle config."""
+    n = 400
+    cfg = DedupConfig(columns=("content",), threshold=0.7, shingle_k=3,
+                      num_perm=128, bands=32)
+    corpus = generate_corpus(spark, n, seed=42).cache()
+    res = self_deduplicate(corpus, cfg, mode="minhash", threshold=0.7)
+    got_pairs = {
+        tuple(sorted((int(r["dup_id"]), int(r["other_id"]))))
+        for r in res.pairs.where(~F.col("exact")).collect()
+    }
+
+    # oracle: exact jaccard over the same shingles, greedy reference scan
+    rows = sorted(
+        ((int(r["record_id"]), r["content"]) for r in corpus.collect()),
+        key=lambda x: x[0],
+    )
+    dedup, _ = remove_exact_duplicates(
+        [{"record_id": i, "content": c} for i, c in rows], ["content"]
+    )
+    ids = [d["record_id"] for d in dedup]
+    sh = [_py_shingles(d["content"]) for d in dedup]
+    m = len(ids)
+    sim = np.zeros((m, m))
+    for i in range(m):
+        sim[i, i] = 1.0
+        for j in range(i + 1, m):
+            inter = len(sh[i] & sh[j])
+            if inter:
+                s = inter / len(sh[i] | sh[j])
+                sim[i, j] = sim[j, i] = s
+    want_sel, want_pairs = greedy_self_dedup_ids(ids, sim, 0.7)
+
+    assert want_pairs, "fixture must contain duplicate pairs"
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.99, f"pair recall {recall:.4f} ({len(want_pairs)} ref pairs)"
+
+    # selected set parity (greedy == CC on the planted triangle clusters)
+    got_sel = sorted(int(r["record_id"]) for r in res.selected.collect())
+    assert got_sel == sorted(want_sel)
+
+
+def test_invariants_partition_and_sha(spark):
+    n = 300
+    cfg = DedupConfig(columns=("content",), threshold=0.7)
+    corpus = generate_corpus(spark, n, seed=42).withColumn(
+        "content_sha", F.sha2("content", 256)
+    ).cache()
+    res = self_deduplicate(corpus, cfg, mode="minhash", threshold=0.7)
+    sel_ids = res.selected.select("record_id")
+    fil_ids = res.filtered.select("record_id")
+    # disjoint and complete
+    assert sel_ids.intersect(fil_ids).count() == 0
+    assert sel_ids.union(fil_ids).distinct().count() == n
+    # sha invariant across the pipeline output
+    out = res.selected.select("record_id", "content", "content_sha").union(
+        res.filtered.select("record_id", "content", "content_sha")
+    )
+    bad = out.where(F.sha2("content", 256) != F.col("content_sha")).count()
+    assert bad == 0
+
+
+def test_rethreshold_and_least_similar(spark, cfg):
+    res = self_deduplicate(_sent_df(spark), cfg, mode="cosine", threshold=0.8)
+    with pytest.raises(ValueError):
+        res.rethreshold(0.5)
+    # raising the threshold far enough returns semantic dups to selected
+    res2 = res.rethreshold(0.999)
+    n_sel2, n_fil2, n_exact2 = res2.counts()
+    assert n_fil2 == n_exact2  # only exact dups (score 1.0) remain filtered
+    assert n_sel2 + n_fil2 == len(SENTS)
+    # least similar pair has the lowest score
+    rows = res.get_least_similar_from_duplicates(1).collect()
+    assert len(rows) == 1
+    all_scores = [r["score"] for r in res.pairs.collect()]
+    assert rows[0]["score"] == pytest.approx(min(all_scores))

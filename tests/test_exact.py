@@ -1,0 +1,73 @@
+"""Spark exact stage vs oracle semantics on the synthetic corpus."""
+
+from pyspark.sql import functions as F
+
+from semhash_spark.operators.exact import cross_exact_split, self_exact_dedup
+from semhash_spark.sources.corpus import generate_corpus, truth_exact_pairs
+from tests.oracle import remove_exact_duplicates
+
+N = 300
+COLS = ("content",)
+
+
+def _rows(df):
+    return sorted(
+        [r.asDict() for r in df.collect()], key=lambda d: d["record_id"]
+    )
+
+
+def test_self_exact_matches_oracle(spark):
+    corpus = generate_corpus(spark, N, seed=42).cache()
+    keyed = self_exact_dedup(corpus, COLS)
+    got_dups = {
+        (int(r["record_id"]), int(r["exemplar_id"]))
+        for r in keyed.where(F.col("is_exact_dup")).collect()
+    }
+    # oracle: first-occurrence-wins over record_id order
+    rows = _rows(corpus)
+    dedup, dups = remove_exact_duplicates(rows, COLS)
+    first_by_content = {}
+    want = set()
+    for d in rows:
+        c = d["content"]
+        if c in first_by_content:
+            want.add((d["record_id"], first_by_content[c]))
+        else:
+            first_by_content[c] = d["record_id"]
+    assert got_dups == want
+    # planted truth is a subset
+    assert set(truth_exact_pairs(N)) <= got_dups
+    # selected + dups partition the input
+    n_sel = keyed.where(~F.col("is_exact_dup")).count()
+    assert n_sel + len(got_dups) == N
+
+
+def test_cross_exact_split(spark):
+    corpus = generate_corpus(spark, N, seed=42).cache()
+    query = corpus.where(F.col("record_id") % 2 == 1)
+    index = corpus.where(F.col("record_id") % 2 == 0)
+    kept, dups = cross_exact_split(query, index, COLS)
+    # oracle
+    q_rows, i_rows = _rows(query), _rows(index)
+    items = [[r] for r in i_rows]
+    # seen-map keyed on content with exemplar = first index row
+    from tests.oracle import build_items
+
+    i_items = build_items(i_rows, COLS)
+    o_kept, o_dups = remove_exact_duplicates(q_rows, COLS, i_items)
+    assert kept.count() == len(o_kept)
+    assert dups.count() == len(o_dups)
+    assert {int(r["record_id"]) for r in kept.collect()} == {
+        r["record_id"] for r in o_kept
+    }
+    # sha256 invariant: content untouched through the stage
+    inv = (
+        kept.select("record_id", F.sha2("content", 256).alias("h"))
+        .join(
+            query.select("record_id", F.sha2("content", 256).alias("h0")),
+            "record_id",
+        )
+        .where(F.col("h") != F.col("h0"))
+        .count()
+    )
+    assert inv == 0
