@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Headline benchmark for the semhash_spark engine.
+
+Runs the flagship dedup pipelines at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...}
+
+The flagship input is the BASELINE.json input_hint table
+(repo, path, commit, lang, content) — synthesized deterministically
+and distributedly by ``semhash_spark.sources.corpus.generate_corpus``
+(seeded per-row RNG; byte-identical at any parallelism), sized
+``CORPUS_PER_SF * sf`` files. The remaining queries run over the
+driver-generated testdata parquet in the sf dir.
+
+Extra keys beyond the driver contract:
+  corpus_files            flagship corpus size
+  files_per_sec           corpus self-dedup throughput (the BASELINE.md
+                          headline metric; reference ≈ 21.6k recs/s)
+  cpus                    local[] core count used
+
+Scaling-efficiency evidence (north_rule N vs 4N executors) is produced
+by ``tools/scaling_bench.py``, which shells out to this file at
+SPARK_GRAFT_CPUS=8 and =32 and writes BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+CORPUS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    corpus_n = max(1_000, int(CORPUS_PER_SF * sf))
+
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.operators.dedup import deduplicate, self_deduplicate
+    from semhash_spark.operators.knn import brute_topk
+    from semhash_spark.operators.rank import filter_outliers, rank_by_avg_similarity
+    from semhash_spark.session import get_spark
+    from semhash_spark.sources.corpus import generate_corpus
+    from semhash_spark.sources.tables import documents, embeddings
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(8, cpus))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    code_cfg = DedupConfig(columns=("content",), threshold=0.8, shingle_k=5,
+                           num_perm=128, bands=32)
+    corpus = generate_corpus(spark, corpus_n).persist()
+    corpus.count()  # materialize generation outside the timed region
+
+    def run_corpus_selfdedup() -> None:
+        res = self_deduplicate(corpus, code_cfg, mode="minhash")
+        n_sel = res.selected.count()
+        n_fil = res.filtered.count()
+        extras["corpus_selected"] = n_sel
+        extras["corpus_filtered"] = n_fil
+
+    def run_corpus_cross() -> None:
+        # 2% of the corpus as the query set vs the rest as the index
+        q = corpus.where(F.col("record_id") % 50 == 7)
+        idx = corpus.where(F.col("record_id") % 50 != 7)
+        res = deduplicate(q, idx, code_cfg, mode="minhash")
+        extras["cross_selected"] = res.selected.count()
+        extras["cross_filtered"] = res.filtered.count()
+
+    doc_cfg = DedupConfig(columns=("text",), threshold=0.8, shingle_k=3,
+                          num_perm=128, bands=32)
+
+    def run_docs_selfdedup() -> None:
+        docs = documents(spark, sf_dir)
+        res = self_deduplicate(docs, doc_cfg, mode="minhash")
+        res.selected.count()
+        res.filtered.count()
+
+    def run_cosine_dedup() -> None:
+        emb = embeddings(spark, sf_dir)
+        cfg = DedupConfig(columns=("vec_id",), threshold=0.4)
+        res = self_deduplicate(
+            emb.withColumn("vec_id", F.col("vec_id").cast("string")),
+            cfg, mode="cosine",
+        )
+        res.selected.count()
+
+    def run_knn() -> None:
+        emb = embeddings(spark, sf_dir)
+        brute_topk(emb, emb, 10, id_col="record_id", emb_col="embedding").count()
+
+    def run_rank_outliers() -> None:
+        emb = embeddings(spark, sf_dir)
+        r = rank_by_avg_similarity(emb, emb, 100, exclude_self=True,
+                                   id_col="record_id", emb_col="embedding")
+        inl, outl = filter_outliers(r, 0.1)
+        inl.count()
+        outl.count()
+
+    def run_text_stats() -> None:
+        from semhash_spark.functions.text import (
+            bpe_ish_token_count, content_fingerprint, lang_id,
+            quality_score, token_count,
+        )
+
+        docs = documents(spark, sf_dir)
+        docs.select(
+            token_count("text").alias("nt"),
+            bpe_ish_token_count("text").alias("nb"),
+            quality_score("text").alias("q"),
+            lang_id("text").alias("lg"),
+            content_fingerprint("text").alias("fp"),
+        ).agg(F.count("*"), F.sum("nt"), F.sum("nb")).collect()
+
+    t0 = time.perf_counter()
+    timed("corpus_selfdedup", run_corpus_selfdedup)
+    timed("corpus_cross_dedup", run_corpus_cross)
+    timed("docs_selfdedup", run_docs_selfdedup)
+    timed("cosine_dedup", run_cosine_dedup)
+    timed("knn_top10", run_knn)
+    timed("rank_outliers", run_rank_outliers)
+    timed("text_stats", run_text_stats)
+    total = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "semhash_spark headline dedup suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "corpus_files": corpus_n,
+        "files_per_sec": round(corpus_n / timings["corpus_selfdedup"], 1),
+        "cpus": cpus,
+    }
+    for k, v in extras.items():
+        out[k] = v
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,29 +1,36 @@
-"""Shingle / MinHash / SimHash column expressions — all JVM-side.
+"""Shingle / MinHash / SimHash column functions.
 
 The reference (MinishLab/semhash) embeds whole texts with a static
 model and delegates similarity search to an in-memory ANN index
 (semhash/index.py:31-48). At 10^12-file scale there is no global
-index; instead we compute per-row sketches with pure Catalyst
-expressions so the entire featurization stage stays inside
-whole-stage codegen — no Python worker, no Arrow transfer, no
-shuffle. Sketches:
+index; instead we compute per-row sketches:
 
-* ``shingle_hashes``: distinct xxhash64 of word/char k-grams.
-* ``minhash_signature``: ``sig[p] = min_s xxhash64(s, p)`` — the
-  classic Broder scheme with the permutation family realized as
-  seeded xxhash64 instead of ``(a*x+b) mod P`` (no 64-bit modular
-  multiply overflow, identical collision behavior in practice).
-* ``simhash64``: 64-bit weighted bit-vote fingerprint.
+* ``shingle_hashes``: distinct xxhash64 of word/char k-grams — JVM
+  expression (split + xxhash64 per shingle, O(tokens) per row).
+* ``minhash_signature``: classic Broder MinHash over the shingle
+  hashes via a vectorized pandas/Arrow UDF. A SQL higher-order
+  formulation was tried first and is ~50x slower: HOF lambdas are
+  evaluated INTERPRETED, one call per (shingle, permutation) — the
+  numpy batch computes the same num_perm x n_shingles min-reduction
+  with two BLAS-level ops per Arrow batch. The permutation family is
+  multiply-add over Z/2^64 (``sig[p] = min_s (a_p * s + b_p)`` with
+  odd ``a_p``, uint64 wraparound), seeded deterministically.
+* ``simhash64``: 64-bit bit-vote fingerprint, same pandas-UDF
+  batching (bit expansion via numpy shifts).
 
-Everything is expressed with SQL lambda higher-order functions
-(transform/aggregate/filter), which Catalyst evaluates without
-leaving the JVM.
+Only candidate RECALL depends on these hash families; every
+surviving pair is re-verified with exact Jaccard on the full shingle
+sets (operators/verify.py), so results stay engine-exact vs the
+DuckDB oracle regardless of family.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
@@ -84,50 +91,93 @@ def shingle_hashes(col: str, k: int, mode: str = "word") -> Column:
 
 
 _LONG_MAX = 9223372036854775807
+_MINHASH_SEED = 0x5EED5EED
 
 
-def minhash_signature(shingles_col: str, num_perm: int) -> Column:
+def _perm_family(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(_MINHASH_SEED))
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _segments(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a Series of int arrays -> (flat uint64, lens, offsets)."""
+    arrs = [np.asarray(v, dtype=np.int64) for v in s]
+    lens = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
+    flat = (
+        np.concatenate(arrs).astype(np.int64).view(np.uint64)
+        if len(arrs)
+        else np.empty(0, dtype=np.uint64)
+    )
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return flat, lens, offs
+
+
+def minhash_signature(shingles_col: str | Column, num_perm: int) -> Column:
     """MinHash signature (array<long> of length num_perm).
 
-    ``sig[p] = min over shingle-hashes s of xxhash64(s, p)``.
-    Single-pass formulation: one ``aggregate`` over the shingle array
-    with an array-of-mins accumulator, so the (possibly inlined)
-    shingle expression is evaluated once per row, not once per
-    permutation. Reference counterpart: none — this is the
-    distributed stand-in for the ANN index build
-    (semhash/index.py:31-48).
+    ``sig[p] = min over shingle-hashes s of (a_p * s + b_p) mod 2^64``
+    — the classic Broder scheme; the distributed stand-in for the
+    reference's ANN index build (semhash/index.py:31-48). Vectorized:
+    per Arrow batch, one outer multiply-add (total_shingles x
+    num_perm) + ``np.minimum.reduceat`` over row segments. Empty
+    shingle arrays yield all-LONG_MAX signatures.
     """
-    return F.expr(
-        f"""
-        aggregate(
-          {shingles_col},
-          array_repeat({_LONG_MAX}L, {num_perm}),
-          (acc, s) -> zip_with(acc, sequence(0, {num_perm - 1}),
-                               (m, p) -> least(m, xxhash64(s, p))))
-        """
-    )
+    A, B = _perm_family(num_perm)
+
+    @pandas_udf("array<long>")
+    def _sig(s: pd.Series) -> pd.Series:
+        n = len(s)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        flat, lens, offs = _segments(s)
+        out = np.full((n, num_perm), np.uint64(_LONG_MAX), dtype=np.uint64)
+        ne = lens > 0
+        if flat.size:
+            starts = offs[:-1][ne]
+            # one 1-D pass per permutation: the working set stays
+            # cache-sized (a full rows x shingles x perms outer
+            # product saturates memory bandwidth across 32 workers)
+            for p in range(num_perm):
+                hp = flat * A[p] + B[p]  # uint64 wraparound
+                out[ne, p] = np.minimum.reduceat(hp, starts)
+        signed = out.view(np.int64)
+        return pd.Series(list(signed))
+
+    return _sig(F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col)
 
 
-def simhash64(shingles_col: str) -> Column:
+def simhash64(shingles_col: str | Column) -> Column:
     """64-bit SimHash fingerprint of a shingle-hash array column.
 
-    Bit b of the output is 1 iff the majority of shingle hashes have
-    bit b set (unit-weight vote). Single pass over the shingles with
-    a 64-counter accumulator; the bit-fold happens in the aggregate's
-    finish lambda.
+    Bit b of the output is 1 iff strictly more shingle hashes have
+    bit b set than unset (unit-weight majority vote). Vectorized:
+    per Arrow batch, expand the flattened hashes to a bit matrix via
+    numpy shifts, segment-sum with ``np.add.reduceat``, fold back to
+    one long.
     """
-    return F.expr(
-        f"""
-        aggregate(
-          {shingles_col},
-          array_repeat(0L, 64),
-          (acc, s) -> zip_with(acc, sequence(0, 63),
-                               (c, b) -> c + IF((s >> b) & 1 = 1, 1L, -1L)),
-          acc -> aggregate(zip_with(acc, sequence(0, 63),
-                                    (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
-                           0L, (x, y) -> x | y))
-        """
-    )
+
+    @pandas_udf("long")
+    def _sim(s: pd.Series) -> pd.Series:
+        n = len(s)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        flat, lens, offs = _segments(s)
+        out = np.zeros(n, dtype=np.uint64)
+        ne = lens > 0
+        if flat.size:
+            starts = offs[:-1][ne]
+            ln = lens[ne]
+            fp = np.zeros(ne.sum(), dtype=np.uint64)
+            for b in range(64):  # one 1-D pass per bit (cache-sized)
+                ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), starts)
+                fp |= (2 * ones > ln).astype(np.uint64) << np.uint64(b)
+            out[ne] = fp
+        return pd.Series(out.view(np.int64))
+
+    return _sim(F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col)
 
 
 def hamming64(a: str | Column, b: str | Column) -> Column:

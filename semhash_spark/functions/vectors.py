@@ -1,21 +1,80 @@
-"""Vector column expressions (JVM-side, whole-stage codegen).
+"""Vector column functions.
 
 The reference converts ANN distances with ``similarity = 1 - cosine
 distance`` (semhash/index.py:59,66-67,86-87); we compute cosine
-similarity directly on ``array<float>`` columns with SQL
-higher-order functions — no UDF, no Arrow transfer — in float64 so
-the DuckDB oracle (which also accumulates in float64 after a
-``::DOUBLE[]`` cast) matches to ~1e-12.
+similarity directly on ``array<float>`` columns.
+
+Two implementations:
+
+* ``cosine_similarity`` — vectorized pandas/Arrow UDF (numpy batch
+  matmul, float64). This is the hot path: Spark's SQL higher-order
+  functions (aggregate/zip_with) are evaluated INTERPRETED, one
+  lambda call per element, ~100x slower per pair than a BLAS dot
+  over an Arrow batch. The input_hint mandates vectorized
+  pandas/Arrow UDFs for exactly this reason.
+* ``cosine_similarity_expr`` — the pure-expression form, needed only
+  where a Column must be evaluated inside another SQL lambda (e.g.
+  scoring a literal centroid array in operators/knn.py) where UDFs
+  cannot appear.
+
+Both accumulate in float64, matching the DuckDB oracle's
+``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`` to ~1e-12
+(summation-order differences only).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _stack(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix float64, null-row mask) from a Series of array values."""
+    null = s.isna().to_numpy()
+    if null.any():
+        dim = next((len(v) for v in s if v is not None), 1)
+        vals = [np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64) for v in s]
+        return np.vstack(vals), null
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in s]), null
+
+
+# DataType object, not a DDL string: string parsing would require an
+# active SparkSession at import time
+@pandas_udf(DoubleType())
+def _cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="Float64")
+    xa, na_mask = _stack(a)
+    xb, nb_mask = _stack(b)
+    num = np.einsum("ij,ij->i", xa, xb)
+    den = np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1)
+    bad = (den <= 0) | na_mask | nb_mask
+    out = np.divide(num, den, out=np.zeros_like(num), where=~bad)
+    res = pd.Series(out, dtype="Float64")
+    res[bad] = pd.NA  # zero-norm / null input -> NULL (never matches >= t)
+    return res
+
+
+def cosine_similarity(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double).
+
+    Zero-norm or NULL inputs yield NULL (never matches a >= threshold
+    predicate), mirroring the reference where a zero vector simply
+    has no neighbors above threshold.
+    """
+    return _cosine_pd(_c(a), _c(b))
+
+
+# ------------------------------------------------- expression variants
+# (usable inside SQL lambdas; interpreted, so keep off the hot path)
 
 
 def dot(a: str | Column, b: str | Column) -> Column:
@@ -34,13 +93,7 @@ def norm(a: str | Column) -> Column:
     )
 
 
-def cosine_similarity(a: str | Column, b: str | Column) -> Column:
-    """Cosine similarity of two array<numeric> columns (double).
-
-    Zero-norm inputs yield NULL (never matches a >= threshold
-    predicate), mirroring the reference where a zero vector simply
-    has no neighbors above threshold.
-    """
+def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d)
 

@@ -65,13 +65,13 @@ def containment_edges(
     at = anchor_table(feats, "shingles", cfg.anchor_mod, id_col)
     cands = candidate_pairs_self(at, cfg.bucket_cap, id_col)
 
+    from semhash_spark.operators.verify import containment_score
+
     fa = feats.select(F.col(id_col).alias("a"), F.col("shingles").alias("_fa"))
     fb = feats.select(F.col(id_col).alias("b"), F.col("shingles").alias("_fb"))
     j = cands.join(fa, "a").join(fb, "b")
-    inter = F.size(F.array_intersect("_fa", "_fb")).cast("double")
-    small = F.least(F.size("_fa"), F.size("_fb")).cast("double")
     scored = (
-        j.withColumn("score", F.when(small > 0, inter / small).otherwise(0.0))
+        j.withColumn("score", containment_score("_fa", "_fb"))
         .where(F.col("score") >= cfg.containment_threshold)
         .select("a", "b", "score")
     )

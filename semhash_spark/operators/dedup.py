@@ -138,6 +138,11 @@ def self_deduplicate(
         return checkpointer.stage(name, build) if checkpointer else build()
 
     keyed = ck("exact", lambda: self_exact_dedup(df, cfg.columns, id_col))
+    if checkpointer is None:
+        # selected/filtered/pairs are separate actions on this DAG;
+        # without a parquet checkpoint, cache the shared stages so
+        # each action doesn't replay the exact window + LSH joins
+        keyed = keyed.persist()
     exemplars = keyed.where(~F.col("is_exact_dup"))
     exact_dups = keyed.where(F.col("is_exact_dup"))
 
@@ -168,6 +173,8 @@ def self_deduplicate(
     )
     if extra_edges is not None:
         edges = edges.unionByName(extra_edges.select("a", "b", "score")).distinct()
+    if checkpointer is None:
+        edges = edges.persist()
 
     cc = ck(
         f"clusters_{mode}",
@@ -257,6 +264,7 @@ def deduplicate(
     id_col = cfg.id_col
 
     kept, exact_dups = cross_exact_split(query_df, index_df, cfg.columns, id_col)
+    kept = kept.persist()
 
     # the index side collapses to exact-group exemplars before matching
     idx_ex = self_exact_dedup(index_df, cfg.columns, id_col)
@@ -298,16 +306,16 @@ def deduplicate(
             .drop("_fa", "_fb")
         )
     else:
+        from semhash_spark.operators.verify import jaccard_similarity
+
         fa = q_feats.select(F.col(id_col).alias("query_id"), F.col("shingles").alias("_fa"))
         fb = index_feats.select(F.col(id_col).alias("index_id"), F.col("shingles").alias("_fb"))
-        inter = F.size(F.array_intersect("_fa", "_fb"))
-        union = F.size(F.array_union("_fa", "_fb"))
         scored = (
             cands.join(fa, "query_id").join(fb, "index_id")
-            .withColumn("score", F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
+            .withColumn("score", jaccard_similarity("_fa", "_fb"))
             .drop("_fa", "_fb")
         )
-    hits = scored.where(F.col("score") >= threshold)
+    hits = scored.where(F.col("score") >= threshold).persist()
 
     best = hits.groupBy("query_id").agg(
         F.max_by(F.col("index_id"), F.struct(F.col("score"), -F.col("index_id"))).alias(

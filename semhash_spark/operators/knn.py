@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from semhash_spark.functions.vectors import cosine_similarity
+from semhash_spark.functions.vectors import cosine_similarity, cosine_similarity_expr
 
 
 def brute_topk(
@@ -79,10 +79,12 @@ def _nearest_cells_expr(emb_col: str, cents: np.ndarray, n: int):
     cent_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
     )
+    # cosine_similarity_expr: pandas UDFs cannot appear inside SQL
+    # lambdas; centroid count is small so interpreted eval is fine here
     scored = F.transform(
         cent_lit,
         lambda c, i: F.struct(
-            cosine_similarity(F.col(emb_col), c).alias("s"), i.alias("cell")
+            cosine_similarity_expr(F.col(emb_col), c).alias("s"), i.alias("cell")
         ),
     )
     return F.slice(F.reverse(F.array_sort(scored)), 1, n)

@@ -16,9 +16,19 @@ Semantics reproduced:
   greedy MMR on the driver over <= 1000 rows (collecting a bounded
   candidate pool is the idiomatic plan, SURVEY §2.6 R5).
 
-Top-k plan: brute-force pair scores + per-query window for exact
-parity (quadratic — the correctness baseline), or the IVF path in
-operators/knn.py for the at-scale approximate variant.
+Top-k plan (``topk_scores``), chosen by index size:
+
+* ``broadcast`` (default when the index fits executor memory): the
+  index (id, embedding) matrix is collected once, broadcast to the
+  executors, and each query partition computes exact cosine top-k
+  with one BLAS matmul + argpartition inside ``mapInPandas`` — no
+  pair shuffle, no window, output is |Q| x k rows only. This is the
+  plan a 1000-executor cluster wants whenever the index matrix is
+  bounded (100k x 64 floats = 50 MB broadcast vs a |Q| x |X| pair
+  shuffle).
+* ``crossjoin``: pair scores + per-query window — the fallback when
+  neither side fits, and the shape IVF pruning (operators/knn.py)
+  starts from.
 """
 
 from __future__ import annotations
@@ -26,10 +36,97 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semhash_spark.functions.vectors import cosine_similarity
+
+# index sides up to this many rows take the broadcast-matmul path
+BROADCAST_TOPK_CAP = 500_000
+
+
+def _topk_crossjoin(
+    query_feats: DataFrame,
+    index_feats: DataFrame,
+    k: int,
+    exclude_self: bool,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    q = query_feats.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("_qe"))
+    i = index_feats.select(F.col(id_col).alias("index_id"), F.col(emb_col).alias("_ie"))
+    pairs = q.crossJoin(i)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("index_id"))
+    scored = pairs.withColumn("score", cosine_similarity("_qe", "_ie")).drop("_qe", "_ie")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("index_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _topk_broadcast(
+    query_feats: DataFrame,
+    index_feats: DataFrame,
+    k: int,
+    exclude_self: bool,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    spark = query_feats.sparkSession
+    idx_pdf = index_feats.select(id_col, emb_col).toPandas()
+    idx_ids = idx_pdf[id_col].to_numpy(dtype=np.int64)
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in idx_pdf[emb_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m_normed = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
+    zero_norm = norms.ravel() <= 0
+    bc = spark.sparkContext.broadcast((idx_ids, m_normed, zero_norm))
+
+    def compute(batches):
+        ids_i, mat, zn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qz = qn.ravel() <= 0
+            qm = np.divide(q, qn, out=np.zeros_like(q), where=qn > 0)
+            scores = qm @ mat.T  # |batch| x |index|
+            # zero-norm on either side -> NULL semantically: exclude
+            scores[:, zn] = -np.inf
+            scores[qz, :] = -np.inf
+            if exclude_self:
+                self_mask = q_ids[:, None] == ids_i[None, :]
+                scores[self_mask] = -np.inf
+            kk = min(k, scores.shape[1])
+            out_q, out_i, out_s, out_r = [], [], [], []
+            for r in range(scores.shape[0]):
+                row = scores[r]
+                if kk < scores.shape[1]:
+                    part = np.argpartition(-row, kk - 1)[:kk]
+                else:
+                    part = np.arange(scores.shape[1])
+                order = part[np.lexsort((ids_i[part], -row[part]))]
+                valid = row[order] > -np.inf
+                order = order[valid]
+                n = len(order)
+                out_q.append(np.full(n, q_ids[r], dtype=np.int64))
+                out_i.append(ids_i[order])
+                out_s.append(row[order])
+                out_r.append(np.arange(1, n + 1, dtype=np.int64))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "index_id": np.concatenate(out_i),
+                        "score": np.concatenate(out_s),
+                        "rk": np.concatenate(out_r),
+                    }
+                )
+
+    return query_feats.select(id_col, emb_col).mapInPandas(
+        compute, "query_id long, index_id long, score double, rk long"
+    )
 
 
 def topk_scores(
@@ -39,19 +136,19 @@ def topk_scores(
     exclude_self: bool = False,
     id_col: str = "record_id",
     emb_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """(query_id, index_id, score, rk) for each query's top-k neighbors.
 
-    Deterministic tie-break: (score desc, index_id asc).
+    Deterministic tie-break: (score desc, index_id asc). Zero-norm
+    vectors never rank (mirrors NULL-cosine semantics).
     """
-    q = query_feats.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("_qe"))
-    i = index_feats.select(F.col(id_col).alias("index_id"), F.col(emb_col).alias("_ie"))
-    pairs = q.crossJoin(i)
-    if exclude_self:
-        pairs = pairs.where(F.col("query_id") != F.col("index_id"))
-    scored = pairs.withColumn("score", cosine_similarity("_qe", "_ie")).drop("_qe", "_ie")
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("index_id").asc())
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if index_feats.count() <= BROADCAST_TOPK_CAP else "crossjoin"
+        )
+    fn = {"broadcast": _topk_broadcast, "crossjoin": _topk_crossjoin}[strategy]
+    return fn(query_feats, index_feats, k, exclude_self, id_col, emb_col)
 
 
 def rank_by_avg_similarity(
