@@ -40,8 +40,12 @@ class DedupConfig:
 
     # --- skew handling ---
     # buckets larger than this emit star edges (member -> bucket min-id)
-    # instead of all O(m^2) pairs; see operators/lsh.py.
-    bucket_cap: int = 1000
+    # instead of all O(m^2) pairs; see operators/lsh.py. 200 caps the
+    # pair flood from common-boilerplate bucket fragments at ~100
+    # pairs/member while true near-dup pairs still co-bucket in their
+    # content-driven bands (recall asserted against planted truth in
+    # tests/test_dedup.py).
+    bucket_cap: int = 200
 
     # --- embeddings ---
     embedding_dim: int = 64

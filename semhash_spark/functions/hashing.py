@@ -84,8 +84,41 @@ def shingle_strings(col: str | Column, k: int, mode: str = "word") -> Column:
     raise ValueError(f"unknown shingle mode {mode!r}")
 
 
+def _word_shingle_hashes(name: str, k: int) -> Column:
+    """xxhash64 values of distinct word k-grams, WITHOUT materializing
+    shingle strings: hash each token once, then hash each k-tuple of
+    token hashes with one xxhash64(th[i], ..., th[i+k-1]) call — no
+    per-shingle string slicing/concatenation (which dominated the
+    featurize stage: string ops are O(chars) per shingle, this is
+    O(k) longs). Collision-equivalent to hashing the joined string:
+    whitespace-split tokens cannot contain the joiner, so k-tuple
+    identity == joined-string identity.
+    """
+    tup = ", ".join(f"th[i + {j}]" for j in range(k))
+    return F.expr(
+        f"""
+        element_at(transform(array(transform(
+            filter(split({name}, '\\\\s+'), t -> t != ''), t -> xxhash64(t))),
+          th -> CASE WHEN size(th) < {k}
+             THEN array(xxhash64(th))
+             ELSE array_distinct(transform(
+                    sequence(0, size(th) - {k}),
+                    i -> xxhash64({tup})))
+          END), 1)
+        """
+    )
+
+
 def shingle_hashes(col: str, k: int, mode: str = "word") -> Column:
-    """Distinct xxhash64 values of the k-gram shingles (array<long>)."""
+    """Distinct k-gram shingle hashes (array<long>).
+
+    Word mode uses the token-tuple hashing fast path (never builds
+    shingle strings); char mode hashes the substring shingles.
+    """
+    if mode == "word":
+        if not isinstance(col, str):
+            raise ValueError("shingle_hashes needs a column name")
+        return _word_shingle_hashes(col, k)
     sh = shingle_strings(col, k, mode)
     return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 

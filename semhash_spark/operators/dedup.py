@@ -87,7 +87,7 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
 
 def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str) -> DataFrame:
     if mode == "minhash":
-        bt = band_table(feats, "sig", cfg.bands, id_col)
+        bt = band_table(feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
         return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
     if mode == "simhash":
         banded = feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands))
@@ -164,13 +164,30 @@ def self_deduplicate(
         # (with a checkpointer the parquet stage plays this role)
         feats = feats.persist()
 
-    cands = ck(f"candidates_{mode}", lambda: _candidates_self(feats, cfg, mode, id_col))
-    edges = ck(
-        f"edges_{mode}",
-        lambda: _verify(cands, feats, cfg, mode, id_col, threshold).select(
-            "a", "b", "score"
-        ),
+    from semhash_spark.operators.verify import (
+        VERIFY_BROADCAST_CAP,
+        cosine_threshold_edges,
     )
+
+    if mode == "cosine" and feats.count() <= VERIFY_BROADCAST_CAP:
+        # fused candidates+verify: one broadcast matmul pass emits
+        # only passing pairs (no |n|^2 pair materialization)
+        edges = ck(
+            f"edges_{mode}",
+            lambda: cosine_threshold_edges(
+                feats, threshold, id_col, cfg.embedding_col
+            ),
+        )
+    else:
+        cands = ck(
+            f"candidates_{mode}", lambda: _candidates_self(feats, cfg, mode, id_col)
+        )
+        edges = ck(
+            f"edges_{mode}",
+            lambda: _verify(cands, feats, cfg, mode, id_col, threshold).select(
+                "a", "b", "score"
+            ),
+        )
     if extra_edges is not None:
         edges = edges.unionByName(extra_edges.select("a", "b", "score")).distinct()
     if checkpointer is None:
@@ -277,8 +294,8 @@ def deduplicate(
     q_feats = add_features(kept, cfg, mode).persist()
 
     if mode == "minhash":
-        qb = band_table(q_feats, "sig", cfg.bands, id_col)
-        ib = band_table(index_feats, "sig", cfg.bands, id_col)
+        qb = band_table(q_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+        ib = band_table(index_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query)
     elif mode == "simhash":
         qb = explode_band_array(

@@ -26,22 +26,34 @@ BAND_COLS = ("band_idx", "band_hash")
 
 
 def band_table(
-    df: DataFrame, sig_col: str, bands: int, id_col: str = "record_id"
+    df: DataFrame,
+    sig_col: str,
+    bands: int,
+    id_col: str = "record_id",
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """(record_id, band_idx, band_hash) — one row per band per record.
 
-    ``band_hash = xxhash64(slice(sig, b*rows+1, rows))`` hashes each
-    row-group of the MinHash signature; for SimHash/hyperplane bands
-    pass the band array column directly via ``explode_band_array``.
+    ``band_hash = xxhash64(sig[b*rows], ..., sig[b*rows+rows-1])``
+    hashes each row-group of the MinHash signature; for
+    SimHash/hyperplane bands pass the band array column directly via
+    ``explode_band_array``. Pass ``rows_per_band`` (num_perm//bands)
+    for the element_at fast path; without it a generic slice form is
+    used.
     """
     # "let g = sig in ..." binding: the signature expression is
     # evaluated once per row even if Catalyst inlines it here.
+    # The band hash is one xxhash64 over the band's signature values
+    # fetched by element_at — no per-band array slice allocation.
+    if rows_per_band is not None:
+        tup = ", ".join(f"g[b * {rows_per_band} + {j}]" for j in range(rows_per_band))
+        body = f"xxhash64({tup})"
+    else:
+        body = f"xxhash64(slice(g, b * (size(g) div {bands}) + 1, size(g) div {bands}))"
     sliced = F.expr(
         f"""
         element_at(transform(array({sig_col}), g ->
-          transform(sequence(0, {bands - 1}),
-            b -> xxhash64(slice(g, b * (size(g) div {bands}) + 1,
-                                size(g) div {bands})))), 1)
+          transform(sequence(0, {bands - 1}), b -> {body})), 1)
         """
     )
     return df.select(F.col(id_col), F.posexplode(sliced).alias("band_idx", "band_hash"))
@@ -63,10 +75,14 @@ def candidate_pairs_self(
     Small buckets -> all pairs; oversized buckets -> star edges to
     the bucket min-id (skew guard, see module docstring).
     """
+    # the band table feeds the sizes agg, the annotate join, and both
+    # sides of the pair self-join — cache it (ids + hashes only) so
+    # the upstream signature stage runs once, not 4x
+    bands_df = bands_df.persist()
     sizes = bands_df.groupBy(*BAND_COLS).agg(
         F.count("*").alias("bucket_n"), F.min(id_col).alias("bucket_min")
     )
-    annotated = bands_df.join(sizes, list(BAND_COLS))
+    annotated = bands_df.join(sizes, list(BAND_COLS)).persist()
 
     small = annotated.where((F.col("bucket_n") <= bucket_cap) & (F.col("bucket_n") > 1))
     a = small.select(*BAND_COLS, F.col(id_col).alias("a"))
