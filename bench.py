@@ -84,9 +84,11 @@ def main() -> None:
         extras["corpus_filtered"] = n_fil
 
     def run_corpus_cross() -> None:
-        # 2% of the corpus as the query set vs the rest as the index
-        q = corpus.where(F.col("record_id") % 50 == 7)
-        idx = corpus.where(F.col("record_id") % 50 != 7)
+        # 1% of the corpus as the query set vs the rest as the index;
+        # slot 1 is the planted exact duplicate of slot 0 (which sits
+        # in the index), so the exact-hit path does real work
+        q = corpus.where(F.col("record_id") % 100 == 1)
+        idx = corpus.where(F.col("record_id") % 100 != 1)
         res = deduplicate(q, idx, code_cfg, mode="minhash")
         extras["cross_selected"] = res.selected.count()
         extras["cross_filtered"] = res.filtered.count()

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the dedup pipeline.
+
+North-rule surface: the job runs via
+
+    zip -r semhash_spark.zip semhash_spark
+    spark-submit --py-files semhash_spark.zip jobs/dedup_job.py \
+        --input  /data/corpus            \
+        --output /data/dedup_run1        \
+        --columns content --threshold 0.8 --mode minhash \
+        --checkpoint-dir /data/dedup_run1/_stages
+
+On a cluster, --master/--num-executors etc. come from spark-submit;
+locally the session factory falls back to local[$SPARK_GRAFT_CPUS].
+The run writes three parquet outputs under --output (selected/,
+filtered/, stats/) plus per-stage checkpoint tables and
+_metrics.jsonl lineage under --checkpoint-dir; a re-run with the
+same --checkpoint-dir resumes from the last complete stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet/iceberg path of the corpus")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--columns", nargs="+", default=["content"])
+    p.add_argument("--id-col", default=None,
+                   help="existing unique long id column (default: derive)")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--mode", default="minhash",
+                   choices=["minhash", "simhash", "cosine", "jaccard_exact"])
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--with-containment", action="store_true",
+                   help="also run the winnowing containment stage")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.operators.dedup import self_deduplicate
+    from semhash_spark.operators.ids import with_record_id
+    from semhash_spark.plans.checkpoint import CheckpointManager
+
+    spark = SparkSession.builder.appName("semhash_spark_dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = DedupConfig(
+        columns=tuple(args.columns), threshold=args.threshold,
+        shingle_k=args.shingle_k, num_perm=args.num_perm, bands=args.bands,
+        bucket_cap=args.bucket_cap, checkpoint_dir=args.checkpoint_dir,
+    )
+    df = spark.read.parquet(args.input)
+    if "record_id" not in df.columns:
+        df = with_record_id(df, existing=args.id_col) if args.id_col else \
+            with_record_id(df, order_cols=list(args.columns))
+
+    ck = CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
+    extra = None
+    if args.with_containment:
+        from semhash_spark.functions.hashing import shingle_hashes
+        from semhash_spark.operators.containment import containment_edges
+
+        feats = df.select("record_id",
+                          shingle_hashes(args.columns[0], args.shingle_k).alias("shingles"))
+        extra = containment_edges(feats, cfg, "record_id")
+
+    t0 = time.time()
+    res = self_deduplicate(df, cfg, mode=args.mode, checkpointer=ck, extra_edges=extra)
+    res.selected.write.mode("overwrite").parquet(os.path.join(args.output, "selected"))
+    res.filtered.write.mode("overwrite").parquet(os.path.join(args.output, "filtered"))
+    res.stats_df().write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+    n_sel, n_fil, n_exact = res.counts()
+    print(json.dumps({
+        "n_selected": n_sel, "n_filtered": n_fil, "n_exact": n_exact,
+        "seconds": round(time.time() - t0, 2),
+        "files_per_sec": round((n_sel + n_fil) / max(time.time() - t0, 1e-9), 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,50 @@ def cosine_similarity_expr(a: str | Column, b: str | Column) -> Column:
     return F.when(d > 0, dot(a, b) / d)
 
 
+def hyperplane_bands(
+    a: str | Column,
+    bits: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> Column:
+    """Random-hyperplane LSH band keys for an embedding column.
+
+    Charikar (STOC 2002) sign-random-projection: bit i = sign(x · h_i)
+    for ``bits`` fixed Gaussian hyperplanes; the bits are split into
+    ``bands`` groups and each group packs into one long, salted with
+    its band index — ready for ``explode_band_array`` + bucket join.
+    P(bit agreement) = 1 - angle(x, y) / pi, so near-cosine pairs
+    share band keys with tunable probability. Vectorized: one
+    |batch| x bits matmul per Arrow batch.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h = rng.standard_normal((bits, dim))
+
+    @pandas_udf("array<long>")
+    def _bands(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        signs = (x @ h[:, : x.shape[1]].T) > 0  # n x bits
+        out = np.zeros((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = signs[:, b * width : (b + 1) * width]
+            word = np.zeros(n, dtype=np.uint64)
+            for j in range(width):
+                word |= chunk[:, j].astype(np.uint64) << np.uint64(j)
+            # salt with band index so identical words in different
+            # bands never collide after explode
+            out[:, b] = word ^ (np.uint64(b) << np.uint64(56))
+        return pd.Series(list(out.view(np.int64)))
+
+    return _bands(_c(a))
+
+
 def l2_normalize(a: str | Column) -> Column:
     n = norm(a)
     return F.when(n > 0, F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))).otherwise(_c(a))

@@ -101,7 +101,26 @@ def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str)
             .select("a", "b")
         )
         return pairs
-    if mode in ("jaccard_exact", "cosine"):
+    if mode == "cosine":
+        # scale path: random-hyperplane LSH banding (Charikar SRP).
+        # Small inputs never reach here — self_deduplicate fuses
+        # candidates+verify into one broadcast matmul below
+        # VERIFY_BROADCAST_CAP.
+        from semhash_spark.functions.vectors import hyperplane_bands
+
+        banded = feats.withColumn(
+            "hpb",
+            hyperplane_bands(
+                cfg.embedding_col,
+                cfg.hyperplane_bits,
+                cfg.hyperplane_bands,
+                cfg.hyperplane_seed,
+                cfg.embedding_dim,
+            ),
+        )
+        bt = explode_band_array(banded, "hpb", id_col)
+        return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+    if mode == "jaccard_exact":
         # brute-force all-pairs: correctness baseline / small inputs.
         ids = feats.select(F.col(id_col))
         a = ids.select(F.col(id_col).alias("a"))
@@ -114,7 +133,11 @@ def _verify(pairs: DataFrame, feats: DataFrame, cfg: DedupConfig, mode: str,
             id_col: str, threshold: float, left: str = "a", right: str = "b") -> DataFrame:
     if mode == "cosine":
         return verify_cosine(pairs, feats, cfg.embedding_col, id_col, threshold, left, right)
-    return verify_jaccard(pairs, feats, "shingles", id_col, threshold, left, right)
+    # join strategy: fully distributed — the broadcast-blob path has a
+    # serial driver-side pack (collect + write + addFile) that caps
+    # scaling (Amdahl); keep it for explicit interactive use only
+    return verify_jaccard(pairs, feats, "shingles", id_col, threshold, left, right,
+                          strategy="join")
 
 
 def self_deduplicate(

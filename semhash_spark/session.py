@@ -33,9 +33,19 @@ def get_spark(
         ncores = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(8, ncores)
 
+    # one BLAS thread per python worker: numpy kernels in pandas UDFs
+    # run in one worker per task slot already — nested BLAS threading
+    # oversubscribes the host (32 workers x N BLAS threads) and
+    # destroys scaling
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

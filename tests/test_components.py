@@ -35,8 +35,9 @@ def _uf_components(n_nodes, edges):
     return out
 
 
+@pytest.mark.parametrize("path", ["driver", "distributed"])
 @pytest.mark.parametrize("case", ["chain", "random", "star", "empty"])
-def test_cc_matches_union_find(spark, case):
+def test_cc_matches_union_find(spark, case, path):
     rng = np.random.default_rng(7)
     if case == "chain":
         edges = [(i, i + 1) for i in range(0, 30)]
@@ -54,9 +55,10 @@ def test_cc_matches_union_find(spark, case):
         df = spark.createDataFrame(edges, "src long, dst long")
     else:
         df = spark.createDataFrame([], "src long, dst long")
+    cap = 5_000_000 if path == "driver" else 0  # cap=0 forces star rounds
     got = {
         int(r["record_id"]): int(r["cluster_id"])
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_cap=cap).collect()
     }
     want = _uf_components(201, edges)
     assert got == want

@@ -1,0 +1,50 @@
+"""Containment (substring) stage vs planted fragments.
+
+The synthetic corpus plants a contained fragment at every id with
+slot 5: its content is a 40-token slice of id-5's file
+(sources/corpus.py). Jaccard(fragment, container) ~ |X|/|Y| is far
+below any dedup threshold, but containment >= 0.9 — exactly the case
+the winnowing-anchor stage exists for (Schleimer et al., SIGMOD'03).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semhash_spark.config import DedupConfig
+from semhash_spark.functions.hashing import shingle_hashes
+from semhash_spark.operators.containment import containment_edges
+from semhash_spark.operators.dedup import self_deduplicate
+from semhash_spark.sources.corpus import generate_corpus, truth_containment_pairs
+
+
+def test_containment_finds_planted_fragments(spark):
+    n = 1500
+    corpus = generate_corpus(spark, n, partitions=8).persist()
+    feats = corpus.select(
+        "record_id", shingle_hashes("content", 5).alias("shingles")
+    )
+    cfg = DedupConfig(containment_threshold=0.9, anchor_mod=4)
+    edges = {(r.a, r.b) for r in containment_edges(feats, cfg, "record_id").collect()}
+    planted = {(min(f, c), max(f, c)) for f, c in truth_containment_pairs(n)}
+    found = {(min(a, b), max(a, b)) for a, b in edges}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.99, (recall, sorted(planted - found)[:5])
+
+
+def test_containment_edges_feed_cc(spark):
+    # extra_edges wiring: fragments join their container's cluster
+    n = 600
+    corpus = generate_corpus(spark, n, partitions=8).persist()
+    cfg = DedupConfig(columns=("content",), threshold=0.8, shingle_k=5,
+                      num_perm=64, bands=16, containment_threshold=0.9, anchor_mod=4)
+    feats = corpus.select("record_id", shingle_hashes("content", 5).alias("shingles"))
+    extra = containment_edges(feats, cfg, "record_id")
+    res = self_deduplicate(corpus, cfg, mode="minhash", extra_edges=extra)
+    fil = {r.record_id: r.exemplar_id for r in
+           res.filtered.select("record_id", "exemplar_id").collect()}
+    for frag, container in truth_containment_pairs(n):
+        # fragment and container end up in the same cluster: either the
+        # fragment was filtered under the container's cluster root...
+        root = fil.get(container, container)
+        assert fil.get(frag) == root or frag == root, (frag, container, fil.get(frag))

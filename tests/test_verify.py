@@ -1,0 +1,63 @@
+"""Verification kernels: strategy parity and exactness.
+
+Both Jaccard strategies (broadcast numpy blob vs JVM join) must
+produce identical scores — integer intersection counts divided in
+float64 are bit-identical across engines, which is what keeps the
+DuckDB oracle comparisons exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from semhash_spark.operators.verify import (
+    containment_score,
+    jaccard_similarity,
+    verify_jaccard,
+)
+
+
+def _feats(spark, n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    shared = rng.integers(-2**62, 2**62, 40).tolist()
+    rows = []
+    for i in range(n):
+        own = rng.integers(-2**62, 2**62, 20).tolist()
+        rows.append((i, shared + own if i % 2 == 0 else own + shared[:10]))
+    return spark.createDataFrame(rows, "record_id long, shingles array<long>")
+
+
+def test_verify_strategies_bit_identical(spark):
+    feats = _feats(spark)
+    ids = feats.select("record_id")
+    pairs = (
+        ids.select(F.col("record_id").alias("a"))
+        .crossJoin(ids.select(F.col("record_id").alias("b")))
+        .where("a < b")
+    )
+    jb = {(r.a, r.b): r.score for r in
+          verify_jaccard(pairs, feats, strategy="broadcast").collect()}
+    jj = {(r.a, r.b): r.score for r in
+          verify_jaccard(pairs, feats, strategy="join").collect()}
+    assert jb == jj  # exact float equality, not approx
+    assert len(jb) == 60 * 59 // 2
+
+
+def test_jaccard_and_containment_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 3, 4], [3, 4, 5, 6]),     # inter 2, union 6
+            (1, [1, 2], [1, 2]),                 # identical
+            (2, [1, 2, 3, 4, 5, 6], [5, 6]),     # containment 1.0, jac 1/3
+            (3, [], [1, 2]),                     # empty side
+        ],
+        "i long, a array<long>, b array<long>",
+    )
+    out = df.select(
+        "i",
+        jaccard_similarity("a", "b").alias("j"),
+        containment_score("a", "b").alias("c"),
+    ).orderBy("i").collect()
+    assert [r.j for r in out] == [2 / 6, 1.0, 2 / 6, 0.0]
+    assert [r.c for r in out] == [2 / 4, 1.0, 1.0, 0.0]
