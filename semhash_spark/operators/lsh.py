@@ -79,12 +79,19 @@ def candidate_pairs_self(
     # sides of the pair self-join — cache it (ids + hashes only) so
     # the upstream signature stage runs once, not 4x
     bands_df = bands_df.persist()
-    sizes = bands_df.groupBy(*BAND_COLS).agg(
-        F.count("*").alias("bucket_n"), F.min(id_col).alias("bucket_min")
+    # keep only buckets that can pair (n > 1) BEFORE joining back:
+    # the overwhelming majority of buckets are singletons, so this
+    # turns the annotate join from a 1:1 SMJ over the whole band
+    # table into a small (usually broadcast) inner join that also
+    # prunes the singleton rows
+    sizes = (
+        bands_df.groupBy(*BAND_COLS)
+        .agg(F.count("*").alias("bucket_n"), F.min(id_col).alias("bucket_min"))
+        .where(F.col("bucket_n") > 1)
     )
     annotated = bands_df.join(sizes, list(BAND_COLS)).persist()
 
-    small = annotated.where((F.col("bucket_n") <= bucket_cap) & (F.col("bucket_n") > 1))
+    small = annotated.where(F.col("bucket_n") <= bucket_cap)
     a = small.select(*BAND_COLS, F.col(id_col).alias("a"))
     b = small.select(*BAND_COLS, F.col(id_col).alias("b"))
     pairs_small = a.join(b, list(BAND_COLS)).where(F.col("a") < F.col("b"))
