@@ -225,21 +225,22 @@ def verify_jaccard(
     ``auto`` takes the broadcast-blob path when the feature table is
     small enough to ship to every executor; the join path otherwise.
     The broadcast path requires every pair id to exist in ``feats``
-    and returns only (left, right, score) columns.
+    and returns only (left, right, score) columns. The join path
+    broadcast-hints the feature side when it fits (skips shuffling
+    the shingle arrays; the pair stream stays partitioned in place).
     """
+    feats_fit = feats.count() <= VERIFY_BROADCAST_CAP
     if strategy == "auto":
         extra = set(pairs.columns) - {left, right}
-        strategy = (
-            "broadcast"
-            if not extra and feats.count() <= VERIFY_BROADCAST_CAP
-            else "join"
-        )
+        strategy = "broadcast" if not extra and feats_fit else "join"
     if strategy == "broadcast":
         return _verify_jaccard_broadcast(
             pairs, feats, feat_col, id_col, threshold, left, right
         )
     fa = feats.select(F.col(id_col).alias(left), F.col(feat_col).alias("_fa"))
     fb = feats.select(F.col(id_col).alias(right), F.col(feat_col).alias("_fb"))
+    if feats_fit:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     j = pairs.join(fa, left).join(fb, right)
     scored = j.withColumn("score", jaccard_similarity("_fa", "_fb")).drop("_fa", "_fb")
     if threshold is not None:
