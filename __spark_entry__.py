@@ -283,9 +283,12 @@ def q_containment_pairs(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     # F5: simhash banding + hamming filter (no SQL oracle: xxhash64
     # has no DuckDB equivalent -> rows-only check)
+    # persist the shingles frame: the InMemoryRelation boundary keeps
+    # CollapseProject from inlining the SQL-lambda shingle expression
+    # into the pandas-UDF argument (Spark 4.1 extraction limitation)
     docs = _documents(spark, sf_dir).select(
         "record_id", shingle_hashes("text", 3).alias("shingles")
-    )
+    ).persist()
     sims = docs.select("record_id", simhash64("shingles").alias("sim64")).persist()
     banded = sims.withColumn("shb", simhash_bands("sim64", 4))
     bt = explode_band_array(banded, "shb", "record_id")

@@ -1,0 +1,81 @@
+"""Seeded randomized property tests for the numeric kernels.
+
+Batched: each test ships ALL random cases through Spark in one job
+(per-example Spark roundtrips would dominate), asserting against
+plain-python ground truth per case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from semhash_spark.functions.vectors import cosine_similarity
+from semhash_spark.operators.verify import containment_score, jaccard_similarity
+
+
+def _random_set(rng, max_len=60):
+    n = int(rng.integers(0, max_len))
+    vals = rng.integers(-2**62, 2**62, size=n * 2)
+    return list(dict.fromkeys(vals.tolist()))[:n]
+
+
+def test_jaccard_containment_match_python_sets(spark):
+    rng = np.random.default_rng(17)
+    cases = []
+    for i in range(200):
+        a = _random_set(rng)
+        # bias towards overlap: half the cases share a prefix
+        b = a[: int(rng.integers(0, len(a) + 1))] + _random_set(rng) if a else _random_set(rng)
+        b = list(dict.fromkeys(b))
+        cases.append((i, a, b))
+    df = spark.createDataFrame(cases, "i long, a array<long>, b array<long>")
+    out = {r.i: (r.j, r.c) for r in df.select(
+        "i", jaccard_similarity("a", "b").alias("j"),
+        containment_score("a", "b").alias("c")).collect()}
+    for i, a, b in cases:
+        sa, sb = set(a), set(b)
+        inter = len(sa & sb)
+        ej = inter / len(sa | sb) if sa | sb else 0.0
+        ec = inter / min(len(sa), len(sb)) if sa and sb else 0.0
+        assert out[i][0] == ej, (i, out[i][0], ej)
+        assert out[i][1] == ec, (i, out[i][1], ec)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(23)
+    d = 48  # fixed dim: embedding columns are fixed-width by contract
+    cases = []
+    for i in range(150):
+        a = rng.standard_normal(d)
+        b = rng.standard_normal(d) if rng.random() < 0.8 else np.zeros(d)
+        cases.append((i, [float(x) for x in a], [float(x) for x in b]))
+    df = spark.createDataFrame(cases, "i long, a array<double>, b array<double>")
+    out = {r.i: r.s for r in df.select(
+        "i", cosine_similarity("a", "b").alias("s")).collect()}
+    for i, a, b in cases:
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na * nb == 0:
+            assert out[i] is None, (i, out[i])
+        else:
+            exp = float(np.dot(a, b) / (na * nb))
+            assert abs(out[i] - exp) < 1e-12, (i, out[i], exp)
+
+
+def test_minhash_permutation_invariance_and_similarity(spark):
+    from semhash_spark.functions.hashing import minhash_signature
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(-2**62, 2**62, 300).tolist()
+    shuffled = list(base)
+    rng.shuffle(shuffled)
+    half = base[:150] + rng.integers(-2**62, 2**62, 150).tolist()
+    df = spark.createDataFrame(
+        [(0, base), (1, shuffled), (2, half)], "i long, sh array<long>"
+    )
+    out = {r.i: r.sig for r in df.select(
+        "i", minhash_signature("sh", 128).alias("sig")).collect()}
+    assert out[0] == out[1]  # set semantics: order-invariant
+    agree = sum(x == y for x, y in zip(out[0], out[2])) / 128
+    # true jaccard = 150/450 = 1/3; 128 perms -> sd ~ 0.042
+    assert 0.15 <= agree <= 0.52, agree
