@@ -75,6 +75,11 @@ def main() -> None:
                            num_perm=128, bands=32)
     corpus = generate_corpus(spark, corpus_n).persist()
     corpus.count()  # materialize generation outside the timed region
+    # warm the python worker pool + JIT so query timings reflect
+    # steady state, not the first pandas stage's cold start
+    import pandas as _pd  # noqa: F401
+
+    spark.range(1000).mapInPandas(lambda it: (p for p in it), "id long").count()
 
     def run_corpus_selfdedup() -> None:
         res = self_deduplicate(corpus, code_cfg, mode="minhash")

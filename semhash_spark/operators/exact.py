@@ -9,15 +9,19 @@ Reference semantics (semhash/utils.py:87-124):
   query-internal exact duplicates are NOT collapsed
   (``in_one_set=False``, utils.py:112,120-122).
 
-Spark realization: one hash shuffle on ``exact_key``; exemplar =
-``min(record_id)`` per key via a window (no global sort). Cross mode
-is a left-semi / left-anti join pair — broadcastable when the query
-side is small (the reference benchmark shape: 4k test vs 1.8M train).
+Spark realization: the group-min computation runs on the (id, key)
+PROJECTION only — the wide row (content!) never enters the exact-key
+shuffle. The resulting duplicate annotation (one row per DUPLICATE,
+usually a small fraction of the input) joins back on the id, which
+Catalyst broadcasts when it fits; a window over the full rows would
+instead shuffle the entire corpus once. Cross mode is a left-semi /
+left-anti join pair — broadcastable when the query side is small
+(the reference benchmark shape: 4k test vs 1.8M train).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from semhash_spark.operators.ids import exact_key
@@ -37,9 +41,17 @@ def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataF
     Selected rows = ``record_id == exemplar_id``.
     """
     keyed = with_exact_key(df, columns)
-    w = Window.partitionBy(EXACT_KEY)
-    keyed = keyed.withColumn("exemplar_id", F.min(id_col).over(w))
-    return keyed.withColumn("is_exact_dup", F.col(id_col) != F.col("exemplar_id"))
+    keys = keyed.select(F.col(id_col), F.col(EXACT_KEY))
+    groups = keys.groupBy(EXACT_KEY).agg(F.min(id_col).alias("_ex_min"))
+    dup_ann = (
+        keys.join(groups, EXACT_KEY)
+        .where(F.col(id_col) != F.col("_ex_min"))
+        .select(F.col(id_col), F.col("_ex_min"))
+    )
+    out = keyed.join(dup_ann, id_col, "left")
+    return out.withColumn(
+        "exemplar_id", F.coalesce(F.col("_ex_min"), F.col(id_col))
+    ).withColumn("is_exact_dup", F.col("_ex_min").isNotNull()).drop("_ex_min")
 
 
 def cross_exact_split(
