@@ -69,6 +69,14 @@ def cross_exact_split(
         .groupBy(EXACT_KEY)
         .agg(F.min(id_col).alias("exemplar_id"))
     )
-    dups = q.join(idx_keys, EXACT_KEY, "inner")
-    kept = q.join(idx_keys.select(EXACT_KEY), EXACT_KEY, "left_anti")
+    # match on the (id, key) projection so the wide query rows never
+    # shuffle on exact_key; the hit list (one row per exact dup) then
+    # joins back by id, broadcast when small
+    hits = (
+        q.select(F.col(id_col), F.col(EXACT_KEY))
+        .join(idx_keys, EXACT_KEY)
+        .select(F.col(id_col), F.col("exemplar_id"))
+    )
+    dups = q.join(hits, id_col, "inner")
+    kept = q.join(hits.select(id_col), id_col, "left_anti")
     return kept, dups
