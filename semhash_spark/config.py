@@ -50,6 +50,10 @@ class DedupConfig:
     # --- embeddings ---
     embedding_dim: int = 64
     embedding_col: str = "embedding"
+    # cosine self-dedup under this many exemplars fuses candidates +
+    # verify into one broadcast matmul; above it, random-hyperplane
+    # LSH + exact verify (None -> operators.verify.VERIFY_BROADCAST_CAP)
+    cosine_fused_cap: int | None = None
     # random-hyperplane LSH for cosine candidates at scale
     hyperplane_bits: int = 64
     hyperplane_bands: int = 8

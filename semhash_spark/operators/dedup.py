@@ -192,7 +192,10 @@ def self_deduplicate(
         cosine_threshold_edges,
     )
 
-    if mode == "cosine" and feats.count() <= VERIFY_BROADCAST_CAP:
+    fused_cap = (
+        cfg.cosine_fused_cap if cfg.cosine_fused_cap is not None else VERIFY_BROADCAST_CAP
+    )
+    if mode == "cosine" and feats.count() <= fused_cap:
         # fused candidates+verify: one broadcast matmul pass emits
         # only passing pairs (no |n|^2 pair materialization)
         edges = ck(

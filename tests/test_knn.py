@@ -101,3 +101,34 @@ def test_cosine_threshold_edges_matches_bruteforce(spark):
     assert set(edges) == set(expected)
     for k in edges:
         assert edges[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+def test_cosine_selfdedup_lsh_path_matches_fused(spark):
+    # force the above-cap hyperplane-LSH path and compare cluster
+    # assignments with the fused-matmul path on near-dup-planted data
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.operators.dedup import self_deduplicate
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(80):
+        v = rng.standard_normal(32)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(32) * 0.01]))
+    emb = spark.createDataFrame(rows, "record_id long, embedding array<float>").repartition(8)
+    emb = emb.withColumn("key", F.col("record_id").cast("string"))
+
+    base = DedupConfig(columns=("key",), threshold=0.99, embedding_dim=32,
+                       hyperplane_bits=64, hyperplane_bands=16)
+    fused = self_deduplicate(emb, base.with_(cosine_fused_cap=10**9), mode="cosine")
+    lsh = self_deduplicate(emb, base.with_(cosine_fused_cap=0), mode="cosine")
+
+    def assign(res):
+        out = {r.record_id: r.record_id for r in res.selected.select("record_id").collect()}
+        out.update({r.record_id: r.exemplar_id for r in
+                    res.filtered.select("record_id", "exemplar_id").collect()})
+        return out
+
+    a, b = assign(fused), assign(lsh)
+    agree = sum(a[k] == b[k] for k in a) / len(a)
+    assert agree >= 0.99, agree  # 16 bands x 4-bit width: recall ~1 at cos .99
