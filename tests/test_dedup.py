@@ -168,3 +168,23 @@ def test_rethreshold_and_least_similar(spark, cfg):
     assert len(rows) == 1
     all_scores = [r["score"] for r in res.pairs.collect()]
     assert rows[0]["score"] == pytest.approx(min(all_scores))
+
+
+def test_partitioning_independence(spark):
+    """SURVEY §5.3: identical cluster assignment regardless of input
+    partitioning (the in-pytest proxy for the local[8]/local[32]
+    determinism asserted across JVMs by tools/scaling_bench.py)."""
+    from semhash_spark.sources.corpus import generate_corpus
+
+    cfg = DedupConfig(columns=("content",), threshold=0.8, shingle_k=5,
+                      num_perm=64, bands=16)
+
+    def assignment(partitions):
+        corpus = generate_corpus(spark, 3000, partitions=partitions)
+        res = self_deduplicate(corpus, cfg, mode="minhash")
+        out = {r.record_id: r.record_id for r in res.selected.select("record_id").collect()}
+        out.update({r.record_id: r.exemplar_id for r in
+                    res.filtered.select("record_id", "exemplar_id").collect()})
+        return out
+
+    assert assignment(3) == assignment(17)

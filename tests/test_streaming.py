@@ -48,3 +48,37 @@ def test_exact_dedup_stream_drops_in_window_dups(spark):
         assert texts == ["alpha", "beta", "gamma"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_dup_counts(spark):
+    import datetime as dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from semhash_spark.streaming.dedup_stream import windowed_dup_counts
+
+    tmp = tempfile.mkdtemp(prefix="semhash_stream2_")
+    try:
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "alpha", t0),
+            (2, "alpha", t0 + dt.timedelta(seconds=10)),
+            (3, "alpha", t0 + dt.timedelta(seconds=20)),
+            (4, "beta", t0 + dt.timedelta(seconds=30)),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, text string, event_time timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("event_id long, text string, event_time timestamp")
+            .parquet(tmp)
+        )
+        counts = windowed_dup_counts(stream, ("text",), "event_time", "10 minutes", "5 minutes")
+        qname = "dupcnt_" + uuid.uuid4().hex[:8]
+        q = (counts.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = spark.sql(f"SELECT n FROM {qname}").collect()
+        assert [r.n for r in out] == [3]  # only the alpha group repeats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
