@@ -88,13 +88,25 @@ def main() -> None:
         extras["corpus_selected"] = n_sel
         extras["corpus_filtered"] = n_fil
 
-    def run_corpus_cross() -> None:
-        # 1% of the corpus as the query set vs the rest as the index;
-        # slot 1 is the planted exact duplicate of slot 0 (which sits
-        # in the index), so the exact-hit path does real work
-        q = corpus.where(F.col("record_id") % 100 == 1)
+    # cross-dedup mirrors the reference benchmark's fit/dedup split
+    # (benchmarks report "dedup-only" seconds separately from index
+    # build, /root/reference/benchmarks/README.md:43-61): fit once,
+    # then time only the query-side match
+    from semhash_spark.api import SparkSemHash
+
+    _fitted = {}
+
+    def run_corpus_fit() -> None:
         idx = corpus.where(F.col("record_id") % 100 != 1)
-        res = deduplicate(q, idx, code_cfg, mode="minhash")
+        sh = SparkSemHash(code_cfg, mode="minhash").fit(idx)
+        sh._feats.count()  # materialize the fitted feature table
+        _fitted["sh"] = sh
+
+    def run_corpus_cross() -> None:
+        # 1% of the corpus as the query set; slot 1 is the planted
+        # exact duplicate of slot 0 (in the index)
+        q = corpus.where(F.col("record_id") % 100 == 1)
+        res = _fitted["sh"].deduplicate(q)
         extras["cross_selected"] = res.selected.count()
         extras["cross_filtered"] = res.filtered.count()
 
@@ -145,6 +157,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     timed("corpus_selfdedup", run_corpus_selfdedup)
+    timed("corpus_fit", run_corpus_fit)
     timed("corpus_cross_dedup", run_corpus_cross)
     timed("docs_selfdedup", run_docs_selfdedup)
     timed("cosine_dedup", run_cosine_dedup)
