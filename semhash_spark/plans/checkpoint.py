@@ -50,7 +50,30 @@ class CheckpointManager:
         df = build()
         df.write.mode("overwrite").parquet(self._path(name))
         out = self.spark.read.parquet(self._path(name))
-        self._record(name, rows=out.count(), seconds=round(time.time() - t0, 3))
+        from pyspark.sql import functions as F
+
+        # per-partition lineage (north rule): row histogram across the
+        # checkpoint table's partitions, for skew diagnosis + resume
+        # bookkeeping
+        hist = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.count("*").alias("n_partitions"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("rows"),
+                F.min("count").alias("min_rows"),
+                F.max("count").alias("max_rows"),
+            )
+            .first()
+        )
+        self._record(
+            name,
+            rows=int(hist["rows"]),
+            n_partitions=int(hist["n_partitions"]),
+            min_partition_rows=int(hist["min_rows"]) if hist["min_rows"] is not None else 0,
+            max_partition_rows=int(hist["max_rows"]) if hist["max_rows"] is not None else 0,
+            seconds=round(time.time() - t0, 3),
+        )
         return out
 
     def invalidate_from(self, names: list[str]) -> None:
