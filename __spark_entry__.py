@@ -502,10 +502,12 @@ WITH sh AS (
   FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 ),
 p AS (
+  -- exact prefilter: J >= t requires len ratio >= t (|A∩B| <= min)
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_intersect(a.g, b.g))::DOUBLE
            / len(list_distinct(a.g || b.g)) AS jac
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   AND len(a.g) >= 0.8 * len(b.g) AND len(b.g) >= 0.8 * len(a.g)
 )
 SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= {JACCARD_T}
 """
@@ -520,7 +522,8 @@ p AS (
     SELECT a.doc_id AS i, b.doc_id AS j,
            len(list_intersect(a.g, b.g))::DOUBLE
              / len(list_distinct(a.g || b.g)) AS jac
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+     AND len(a.g) >= 0.8 * len(b.g) AND len(b.g) >= 0.8 * len(a.g))
   WHERE jac >= {JACCARD_T}
 ),
 edges AS (SELECT i, j FROM p UNION SELECT j AS i, i AS j FROM p),
@@ -653,6 +656,7 @@ sem AS (
            len(list_intersect(q.g, i.g))::DOUBLE
              / len(list_distinct(q.g || i.g)) AS jac
     FROM sh q JOIN sh i ON q.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+     AND len(q.g) >= 0.8 * len(i.g) AND len(i.g) >= 0.8 * len(q.g)
     WHERE q.doc_id NOT IN (SELECT dup_id FROM ex))
   WHERE jac >= {JACCARD_T})
 SELECT dup_id, exemplar_id, 1.0 AS score FROM ex
