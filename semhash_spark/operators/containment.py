@@ -90,3 +90,97 @@ def containment_edges(
             .select("a", "b", "score")
         )
     return scored
+
+
+# -------------------------------------------------- substring confirm
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common substring via a suffix automaton
+    of ``a`` walked with ``b`` — O(|a| + |b|), the linear-time core a
+    suffix-array/LCP approach would also give (Gusfield ch.7)."""
+    # build suffix automaton of a
+    last = 0
+    states = [{"len": 0, "link": -1, "next": {}}]
+    for ch in a:
+        cur = len(states)
+        states.append({"len": states[last]["len"] + 1, "link": -1, "next": {}})
+        p = last
+        while p >= 0 and ch not in states[p]["next"]:
+            states[p]["next"][ch] = cur
+            p = states[p]["link"]
+        if p == -1:
+            states[cur]["link"] = 0
+        else:
+            q = states[p]["next"][ch]
+            if states[p]["len"] + 1 == states[q]["len"]:
+                states[cur]["link"] = q
+            else:
+                clone = len(states)
+                states.append({
+                    "len": states[p]["len"] + 1,
+                    "link": states[q]["link"],
+                    "next": dict(states[q]["next"]),
+                })
+                while p >= 0 and states[p]["next"].get(ch) == q:
+                    states[p]["next"][ch] = clone
+                    p = states[p]["link"]
+                states[q]["link"] = clone
+                states[cur]["link"] = clone
+        last = cur
+    # walk b
+    v, ln, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in states[v]["next"]:
+            v = states[v]["link"]
+            ln = states[v]["len"]
+        if ch in states[v]["next"]:
+            v = states[v]["next"][ch]
+            ln += 1
+        else:
+            v, ln = 0, 0
+        best = max(best, ln)
+    return best
+
+
+def lcs_confirm(
+    pairs: DataFrame,
+    content_df: DataFrame,
+    id_col: str = "record_id",
+    content_col: str = "content",
+    min_frac: float = 0.8,
+) -> DataFrame:
+    """Confirm containment candidates by LONGEST COMMON SUBSTRING:
+    keep pairs whose longest shared character run covers at least
+    ``min_frac`` of the smaller document. Stricter than the shingle
+    ratio (contiguity required) yet tolerant of fragments that are
+    not byte-exact substrings, unlike ``instr``. Content joins only
+    onto the surviving-candidate relation (tiny), never shuffling the
+    corpus; the per-pair automaton is linear in the two lengths and
+    runs Arrow-batched.
+
+    Output: (a, b, score, lcs_frac).
+    """
+    c = content_df.select(F.col(id_col), F.col(content_col))
+    j = (
+        pairs.join(c.select(F.col(id_col).alias("a"),
+                            F.col(content_col).alias("_ca")), "a")
+        .join(c.select(F.col(id_col).alias("b"),
+                       F.col(content_col).alias("_cb")), "b")
+    )
+
+    def confirm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fracs = []
+            for ca, cb in zip(pdf["_ca"], pdf["_cb"]):
+                small, big = (ca, cb) if len(ca) <= len(cb) else (cb, ca)
+                fracs.append(_lcs_len(big, small) / len(small) if small else 0.0)
+            out = pdf[["a", "b", "score"]].copy()
+            out["lcs_frac"] = fracs
+            yield out[out["lcs_frac"] >= min_frac]
+
+    return j.mapInPandas(confirm, "a long, b long, score double, lcs_frac double")

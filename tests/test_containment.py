@@ -48,3 +48,32 @@ def test_containment_edges_feed_cc(spark):
         # fragment was filtered under the container's cluster root...
         root = fil.get(container, container)
         assert fil.get(frag) == root or frag == root, (frag, container, fil.get(frag))
+
+
+def test_lcs_confirm_accepts_fragments_rejects_shuffles(spark):
+    """LCS confirmation: a contiguous fragment passes even with small
+    edits; a bag-of-same-tokens shuffle (high shingle overlap is
+    impossible but high token overlap is) fails the contiguity bar."""
+    from semhash_spark.operators.containment import _lcs_len, lcs_confirm
+
+    # kernel sanity
+    assert _lcs_len("abcdefgh", "cdef") == 4
+    assert _lcs_len("abc", "xyz") == 0
+    assert _lcs_len("", "x") == 0
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    frag = base[40:200]                       # exact fragment
+    frag_edit = frag[:70] + "X" + frag[71:]   # one-char edit inside
+    shuffled = " ".join(sorted(frag.split())) # same tokens, no long run
+    content = spark.createDataFrame(
+        [(0, base), (1, frag), (2, frag_edit), (3, shuffled)],
+        "record_id long, content string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 1.0), (3, 0, 1.0)], "a long, b long, score double"
+    )
+    out = {(r.a, r.b): r.lcs_frac for r in
+           lcs_confirm(pairs, content, min_frac=0.45).collect()}
+    assert (1, 0) in out and out[(1, 0)] == 1.0
+    assert (2, 0) in out and out[(2, 0)] >= 0.45  # edit splits the run
+    assert (3, 0) not in out
