@@ -435,6 +435,34 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_outliers_cross_pct20(spark, sf_dir):
+    # R1+R3 cross mode: rank query vectors (vec_id < 100) against the
+    # REST as index, drop the bottom ceil(n*0.2)
+    emb = _emb(spark, sf_dir)
+    q = emb.where("vec_id < 100")
+    idx = emb.where("vec_id >= 100")
+    r = rank_by_avg_similarity(q, idx, 100, exclude_self=False,
+                               id_col="record_id", emb_col="embedding")
+    _, outl = filter_outliers(r, 0.2)
+    return outl.select(F.col("query_id").cast("long").alias("vec_id"))
+
+
+def q_containment_lcs(spark, sf_dir):
+    # J5 confirm stage: suffix-automaton longest-common-substring over
+    # surviving containment candidates (no SQL LCS -> rows-only)
+    from semhash_spark.operators.containment import containment_edges, lcs_confirm
+
+    docs = _documents(spark, sf_dir)
+    feats = docs.select("record_id", shingle_hashes("text", 3).alias("shingles"))
+    cfg = DedupConfig(containment_threshold=0.9, anchor_mod=8)
+    edges = containment_edges(feats, cfg, "record_id")
+    out = lcs_confirm(edges, docs, "record_id", "text", min_frac=0.5)
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long"),
+        F.round("lcs_frac", 6).alias("lcs_frac"),
+    )
+
+
 def q_representatives(spark, sf_dir):
     # R5/R6: MMR representative selection (driver-side numpy ->
     # deterministic but not SQL-expressible -> rows-only check)
@@ -479,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_top5": q_ivf_knn_top5,
         "media_features_meta": q_media_features_meta,
         "frame_sample": q_frame_sample,
+        "outliers_cross_pct20": q_outliers_cross_pct20,
+        "containment_lcs": q_containment_lcs,
         "simhash_pairs": q_simhash_pairs,
         "hyperplane_cosine_pairs": q_hyperplane_cosine_pairs,
         "representatives": q_representatives,
@@ -812,6 +842,28 @@ def oracle_sql() -> dict[str, str]:
                      2))::BIGINT AS frame_idx
             FROM documents
         """,
+        "outliers_cross_pct20": """
+            WITH s AS (
+              SELECT a.vec_id AS q, b.vec_id AS n,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS score
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id < 100 AND b.vec_id >= 100),
+            tk AS (
+              SELECT q, score,
+                     row_number() OVER (PARTITION BY q
+                                        ORDER BY score DESC, n ASC) AS rk
+              FROM s),
+            r AS (SELECT q AS vec_id, avg(score) AS avg_score
+                  FROM tk WHERE rk <= 100 GROUP BY q),
+            ranked AS (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY avg_score ASC, vec_id DESC) AS rk
+              FROM r)
+            SELECT vec_id FROM ranked
+            WHERE rk <= ceil((SELECT count(*) FROM r) * 0.2)
+        """,
+        # containment_lcs (no SQL longest-common-substring),
         # simhash_pairs, hyperplane_cosine_pairs (probabilistic LSH
         # recall), representatives (driver-side MMR): rows-only
     }

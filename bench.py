@@ -140,6 +140,16 @@ def main() -> None:
         inl.count()
         outl.count()
 
+    def run_corpus_containment() -> None:
+        from semhash_spark.functions.hashing import shingle_hashes
+        from semhash_spark.operators.containment import containment_edges
+
+        feats = corpus.select(
+            "record_id", shingle_hashes("content", 5).alias("shingles")
+        )
+        cfg = code_cfg.with_(containment_threshold=0.9, anchor_mod=8)
+        extras["containment_edges"] = containment_edges(feats, cfg, "record_id").count()
+
     def run_text_stats() -> None:
         from semhash_spark.functions.text import (
             bpe_ish_token_count, content_fingerprint, lang_id,
@@ -163,6 +173,7 @@ def main() -> None:
     timed("cosine_dedup", run_cosine_dedup)
     timed("knn_top10", run_knn)
     timed("rank_outliers", run_rank_outliers)
+    timed("corpus_containment", run_corpus_containment)
     timed("text_stats", run_text_stats)
     total = round(time.perf_counter() - t0, 3)
 
