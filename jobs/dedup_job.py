@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--columns", nargs="+", default=["content"])
     p.add_argument("--id-col", default=None,
                    help="existing unique long id column (default: derive)")
+    p.add_argument("--natural-key", nargs="+", default=None,
+                   help="columns uniquely identifying a row (e.g. repo path "
+                        "commit); derives collision-checked xxhash64 ids "
+                        "without any sort/shuffle")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--mode", default="minhash",
                    choices=["minhash", "simhash", "cosine", "jaccard_exact"])
@@ -65,8 +69,12 @@ def main() -> None:
     )
     df = spark.read.parquet(args.input)
     if "record_id" not in df.columns:
-        df = with_record_id(df, existing=args.id_col) if args.id_col else \
-            with_record_id(df, order_cols=list(args.columns))
+        if args.id_col:
+            df = with_record_id(df, existing=args.id_col)
+        elif args.natural_key:
+            df = with_record_id(df, natural_key=args.natural_key)
+        else:
+            df = with_record_id(df, order_cols=list(args.columns))
 
     ck = CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
     extra = None

@@ -14,10 +14,11 @@ Reference semantics being reproduced:
 
 Scale note: ``row_number`` over a global order is a single-partition
 sort — fine at test scale, wrong at 10^12 rows. ``with_record_id``
-therefore prefers an existing unique long column, and otherwise
-derives a 63-bit key from sha2 over the caller-supplied natural key
-(collision-checked); exemplar selection everywhere uses
-``min(record_id)`` which needs no global sort, only a hash shuffle.
+therefore prefers an existing unique long column, or derives a
+63-bit key from xxhash64 over a caller-supplied natural key
+(collision-checked, shuffle-free); exemplar selection everywhere
+uses ``min(record_id)`` which needs no global sort, only a hash
+shuffle.
 """
 
 from __future__ import annotations
@@ -52,19 +53,40 @@ def with_record_id(
     order_cols: list[str] | None = None,
     id_col: str = "record_id",
     existing: str | None = None,
+    natural_key: list[str] | None = None,
 ) -> DataFrame:
     """Attach a deterministic unique long ``record_id``.
 
     :param existing: name of a unique long column to reuse (e.g.
         ``doc_id``) — the scale path, no sort needed.
+    :param natural_key: columns that uniquely identify a row (e.g.
+        repo/path/commit): derives a 63-bit id from xxhash64 over
+        them — no sort, no shuffle, partition-independent; raises if
+        the derived ids collide (checked with one count-distinct).
+        The other scale path when no long id column exists.
     :param order_cols: natural-key columns defining first-occurrence
         order; derives id = dense row_number over that order. Only
         for test-scale inputs (global sort).
     """
     if existing is not None:
         return df.withColumn(id_col, F.col(existing).cast("long"))
+    if natural_key:
+        out = df.withColumn(
+            id_col,
+            F.abs(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                               for c in natural_key])),
+        )
+        n, nd = out.agg(
+            F.count("*").alias("n"), F.countDistinct(id_col).alias("nd")
+        ).first()
+        if n != nd:
+            raise ValueError(
+                f"natural_key {natural_key} produced {n - nd} record_id "
+                "collisions — key is not unique (or astronomically unlucky)"
+            )
+        return out
     if not order_cols:
-        raise ValueError("need either `existing` id column or order_cols")
+        raise ValueError("need `existing`, `natural_key`, or order_cols")
     from pyspark.sql import Window
 
     w = Window.orderBy(*[F.col(c) for c in order_cols])

@@ -71,3 +71,24 @@ def test_cross_exact_split(spark):
         .count()
     )
     assert inv == 0
+
+
+def test_with_record_id_natural_key(spark):
+    from semhash_spark.operators.ids import with_record_id
+    from pyspark.sql import functions as F
+    import pytest
+
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1"), ("r1", "b.py", "c1"), ("r2", "a.py", "c2")],
+        "repo string, path string, commit string",
+    )
+    out = with_record_id(df, natural_key=["repo", "path", "commit"])
+    ids = [r.record_id for r in out.collect()]
+    assert len(set(ids)) == 3 and all(i >= 0 for i in ids)
+    # partition-independence: same ids at any layout
+    out2 = with_record_id(df.repartition(5), natural_key=["repo", "path", "commit"])
+    assert set(ids) == {r.record_id for r in out2.collect()}
+    # non-unique key -> collision error
+    dup = spark.createDataFrame([("x",), ("x",)], "k string")
+    with pytest.raises(ValueError, match="collision"):
+        with_record_id(dup, natural_key=["k"])
