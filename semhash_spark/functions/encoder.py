@@ -30,16 +30,33 @@ def _token_hash(token: str) -> int:
 
 
 def encode_texts(texts: list[str] | pd.Series, dim: int = 64) -> np.ndarray:
-    """Encode texts to L2-normalized float32 vectors, shape (n, dim)."""
+    """Encode texts to L2-normalized float32 vectors, shape (n, dim).
+
+    Vectorized: tokens are uniqued batch-wide (``pd.factorize``,
+    hash-based C path), only UNIQUE tokens are sha1-hashed in Python,
+    and the per-row accumulation is one ``np.bincount``. Bit-identical
+    to a per-token loop: contributions are ±1 integers, so float
+    summation order cannot change the result.
+    """
+    import itertools
+
     if isinstance(texts, pd.Series):
         texts = texts.fillna("").tolist()
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, text in enumerate(texts):
-        for tok in text.split():
-            h = _token_hash(tok)
-            idx = h % dim
-            sign = 1.0 if (h >> 8) & 1 else -1.0
-            out[i, idx] += sign
+    n = len(texts)
+    tok_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((n, dim), dtype=np.float32)
+    flat = np.asarray(list(itertools.chain.from_iterable(tok_lists)), dtype=object)
+    codes, uniq = pd.factorize(flat, sort=False)
+    h = np.fromiter((_token_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    idx = (h % np.uint64(dim)).astype(np.int64)
+    sign = np.where((h >> np.uint64(8)) & np.uint64(1) == 1, 1.0, -1.0)
+    rows = np.repeat(np.arange(n), lens)
+    out = np.bincount(
+        rows * dim + idx[codes], weights=sign[codes], minlength=n * dim
+    ).reshape(n, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out.astype(np.float32)

@@ -134,9 +134,17 @@ def _perm_family(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
 def _segments(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Flatten a Series of int arrays -> (flat uint64, lens, offsets)."""
-    arrs = [np.asarray(v, dtype=np.int64) for v in s]
+    """Flatten a Series of int arrays -> (flat uint64, lens, offsets).
+
+    NULL rows are treated as empty shingle sets (they flow through to
+    the all-sentinel signature / zero fingerprint instead of crashing
+    the stage on ``np.asarray(None)``).
+    """
+    arrs = [_EMPTY_I64 if v is None else np.asarray(v, dtype=np.int64) for v in s]
     lens = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
     flat = (
         np.concatenate(arrs).astype(np.int64).view(np.uint64)
@@ -148,38 +156,82 @@ def _segments(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, lens, offs
 
 
+# values-per-chunk for the segment kernels: the flat chunk plus one
+# scratch buffer stay L2-resident, so the 128-perm / 64-bit passes
+# re-read cache instead of DRAM (32 concurrent workers share the
+# memory bus — the full-batch variant is bandwidth-bound there)
+_CHUNK_VALUES = 1 << 15
+
+
+def _row_chunks(offs: np.ndarray, n: int):
+    """Yield (row_start, row_end) spans whose flat size ~<= _CHUNK_VALUES
+    (always at least one row per span)."""
+    r0 = 0
+    while r0 < n:
+        # largest r1 with offs[r1] - offs[r0] <= _CHUNK_VALUES
+        r1 = int(np.searchsorted(offs, offs[r0] + _CHUNK_VALUES, side="right")) - 1
+        r1 = max(r1, r0 + 1)
+        r1 = min(r1, n)
+        yield r0, r1
+        r0 = r1
+
+
 def minhash_signature(shingles_col: str | Column, num_perm: int) -> Column:
     """MinHash signature (array<long> of length num_perm).
 
     ``sig[p] = min over shingle-hashes s of (a_p * s + b_p) mod 2^64``
     — the classic Broder scheme; the distributed stand-in for the
     reference's ANN index build (semhash/index.py:31-48). Vectorized:
-    per Arrow batch, one outer multiply-add (total_shingles x
-    num_perm) + ``np.minimum.reduceat`` over row segments. Empty
-    shingle arrays yield all-LONG_MAX signatures.
+    per Arrow batch, cache-chunked multiply-add +
+    ``np.minimum.reduceat`` over row segments. Empty or NULL shingle
+    arrays yield all-LONG_MAX signatures.
+
+    The UDF deliberately takes ``size(col)`` as a second (ignored)
+    argument: referencing the shingles column twice keeps
+    CollapseProject from inlining a SQL-lambda shingle expression
+    into the UDF argument when a downstream projection drops the
+    shingles column — that inline hits Spark 4.1's
+    "[INTERNAL_ERROR] Cannot generate code for expression: _sig(...)"
+    (python-UDF extraction cannot host NamedLambdaVariables).
+    CollapseProject never inlines a non-cheap alias referenced more
+    than once, so the lambda stays in its own project and is still
+    evaluated exactly once per row. Pass a NAMED column (not an
+    inline lambda expression) to get this protection.
     """
     A, B = _perm_family(num_perm)
 
     @pandas_udf("array<long>")
-    def _sig(s: pd.Series) -> pd.Series:
+    def _sig(s: pd.Series, _sz: pd.Series) -> pd.Series:
         n = len(s)
         if n == 0:
             return pd.Series([], dtype=object)
         flat, lens, offs = _segments(s)
         out = np.full((n, num_perm), np.uint64(_LONG_MAX), dtype=np.uint64)
-        ne = lens > 0
         if flat.size:
-            starts = offs[:-1][ne]
-            # one 1-D pass per permutation: the working set stays
-            # cache-sized (a full rows x shingles x perms outer
-            # product saturates memory bandwidth across 32 workers)
-            for p in range(num_perm):
-                hp = flat * A[p] + B[p]  # uint64 wraparound
-                out[ne, p] = np.minimum.reduceat(hp, starts)
+            # row-chunked so the flat slice + scratch stay L2-resident
+            # across the num_perm passes (a full rows x shingles x
+            # perms outer product — or even full-batch 1-D passes —
+            # is DRAM-bound with 32 concurrent workers)
+            hp = np.empty(min(flat.size, _CHUNK_VALUES * 2), dtype=np.uint64)
+            for r0, r1 in _row_chunks(offs, n):
+                ne = lens[r0:r1] > 0
+                if not ne.any():
+                    continue
+                fc = flat[offs[r0] : offs[r1]]
+                starts = (offs[r0:r1][ne] - offs[r0]).astype(np.int64)
+                rows = np.arange(r0, r1)[ne]
+                if fc.size > hp.size:  # single row larger than a chunk
+                    hp = np.empty(fc.size, dtype=np.uint64)
+                buf = hp[: fc.size]
+                for p in range(num_perm):
+                    np.multiply(fc, A[p], out=buf)
+                    buf += B[p]  # uint64 wraparound
+                    out[rows, p] = np.minimum.reduceat(buf, starts)
         signed = out.view(np.int64)
         return pd.Series(list(signed))
 
-    return _sig(F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col)
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return _sig(c, F.size(c))
 
 
 def simhash64(shingles_col: str | Column) -> Column:
@@ -187,30 +239,38 @@ def simhash64(shingles_col: str | Column) -> Column:
 
     Bit b of the output is 1 iff strictly more shingle hashes have
     bit b set than unset (unit-weight majority vote). Vectorized:
-    per Arrow batch, expand the flattened hashes to a bit matrix via
-    numpy shifts, segment-sum with ``np.add.reduceat``, fold back to
-    one long.
+    per Arrow batch, cache-chunked numpy shifts + segment-sum with
+    ``np.add.reduceat``. NULL/empty shingle arrays yield fingerprint
+    0. Takes ``size(col)`` as a second ignored argument for the same
+    CollapseProject-inline protection as ``minhash_signature``.
     """
 
     @pandas_udf("long")
-    def _sim(s: pd.Series) -> pd.Series:
+    def _sim(s: pd.Series, _sz: pd.Series) -> pd.Series:
         n = len(s)
         if n == 0:
             return pd.Series([], dtype="int64")
         flat, lens, offs = _segments(s)
         out = np.zeros(n, dtype=np.uint64)
-        ne = lens > 0
         if flat.size:
-            starts = offs[:-1][ne]
-            ln = lens[ne]
-            fp = np.zeros(ne.sum(), dtype=np.uint64)
-            for b in range(64):  # one 1-D pass per bit (cache-sized)
-                ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), starts)
-                fp |= (2 * ones > ln).astype(np.uint64) << np.uint64(b)
-            out[ne] = fp
+            for r0, r1 in _row_chunks(offs, n):  # L2-resident chunks
+                ne = lens[r0:r1] > 0
+                if not ne.any():
+                    continue
+                fc = flat[offs[r0] : offs[r1]]
+                starts = (offs[r0:r1][ne] - offs[r0]).astype(np.int64)
+                ln = lens[r0:r1][ne]
+                fp = np.zeros(len(ln), dtype=np.uint64)
+                for b in range(64):  # one 1-D pass per bit
+                    ones = np.add.reduceat(
+                        (fc >> np.uint64(b)) & np.uint64(1), starts
+                    )
+                    fp |= (2 * ones > ln).astype(np.uint64) << np.uint64(b)
+                out[np.arange(r0, r1)[ne]] = fp
         return pd.Series(out.view(np.int64))
 
-    return _sim(F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col)
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return _sim(c, F.size(c))
 
 
 def hamming64(a: str | Column, b: str | Column) -> Column:

@@ -126,7 +126,17 @@ def hyperplane_bands(
         n = len(v)
         if n == 0:
             return pd.Series([], dtype=object)
-        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        # NULL embeddings produce an EMPTY band array: posexplode
+        # drops the row, so null rows simply generate no candidates
+        # (instead of crashing np.asarray(None) or co-bucketing all
+        # nulls into one mega-bucket)
+        null = np.fromiter((e is None for e in v), dtype=bool, count=n)
+        if null.all():
+            return pd.Series([[]] * n, dtype=object)
+        d = len(next(e for e in v if e is not None))
+        x = np.vstack(
+            [np.zeros(d) if e is None else np.asarray(e, dtype=np.float64) for e in v]
+        )
         signs = (x @ h[:, : x.shape[1]].T) > 0  # n x bits
         out = np.zeros((n, bands), dtype=np.uint64)
         for b in range(bands):
@@ -137,7 +147,12 @@ def hyperplane_bands(
             # salt with band index so identical words in different
             # bands never collide after explode
             out[:, b] = word ^ (np.uint64(b) << np.uint64(56))
-        return pd.Series(list(out.view(np.int64)))
+        rows = out.view(np.int64)
+        if null.any():
+            return pd.Series(
+                [[] if null[i] else rows[i] for i in range(n)], dtype=object
+            )
+        return pd.Series(list(rows))
 
     return _bands(_c(a))
 
