@@ -133,11 +133,13 @@ def _verify(pairs: DataFrame, feats: DataFrame, cfg: DedupConfig, mode: str,
             id_col: str, threshold: float, left: str = "a", right: str = "b") -> DataFrame:
     if mode == "cosine":
         return verify_cosine(pairs, feats, cfg.embedding_col, id_col, threshold, left, right)
-    # join strategy: fully distributed — the broadcast-blob path has a
-    # serial driver-side pack (collect + write + addFile) that caps
-    # scaling (Amdahl); keep it for explicit interactive use only
+    # auto: broadcast-blob when the (byte-measured) feature table fits
+    # per executor — since round 2 the blob pack is a DISTRIBUTED
+    # parquet write + per-worker mmap'd read (no serial driver hop),
+    # so the measured ~8x kernel win over the join form comes without
+    # an Amdahl driver stage; join is the automatic fallback above cap
     return verify_jaccard(pairs, feats, "shingles", id_col, threshold, left, right,
-                          strategy="join")
+                          strategy="auto")
 
 
 def self_deduplicate(
@@ -189,13 +191,21 @@ def self_deduplicate(
 
     from semhash_spark.operators.verify import (
         VERIFY_BROADCAST_CAP,
+        VERIFY_BROADCAST_MAX_BYTES,
+        _feat_bytes,
         cosine_threshold_edges,
     )
 
     fused_cap = (
         cfg.cosine_fused_cap if cfg.cosine_fused_cap is not None else VERIFY_BROADCAST_CAP
     )
-    if mode == "cosine" and feats.count() <= fused_cap:
+    if mode == "cosine":
+        n_feats, feat_bytes = _feat_bytes(feats, cfg.embedding_col)
+    if (
+        mode == "cosine"
+        and n_feats <= fused_cap
+        and feat_bytes <= VERIFY_BROADCAST_MAX_BYTES
+    ):
         # fused candidates+verify: one broadcast matmul pass emits
         # only passing pairs (no |n|^2 pair materialization)
         edges = ck(

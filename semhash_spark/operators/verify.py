@@ -38,6 +38,14 @@ from semhash_spark.functions.vectors import cosine_similarity
 
 # feature tables up to this many rows take the broadcast-blob path
 VERIFY_BROADCAST_CAP = 2_000_000
+# ... but never when the estimated payload exceeds this many bytes
+# (shingle arrays are unbounded, so a row cap alone can admit a
+# multi-GB blob — ADVICE r1). 1 GiB mmap'd per executor is the
+# practical ceiling; above it the join strategy stays distributed.
+VERIFY_BROADCAST_MAX_BYTES = 1 << 30
+# byte ceiling for F.broadcast join hints (per-executor JVM hash
+# relation, less forgiving than an mmap'd file)
+JOIN_BROADCAST_MAX_BYTES = 256 << 20
 
 
 def _c(col: str | Column) -> Column:
@@ -64,25 +72,24 @@ def containment_score(a: str | Column, b: str | Column) -> Column:
     return F.when(small > 0, inter / small).otherwise(F.lit(0.0))
 
 
-def _pack_feats(feats: DataFrame, feat_col: str, id_col: str):
-    """Collect a (id, array<long>) table into one sorted numpy blob:
-    (sorted_ids, flat_values, offsets) — offsets[i]:offsets[i+1]
-    slices row i's values out of flat."""
-    pdf = feats.select(id_col, feat_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    arrs = [np.asarray(pdf[feat_col].iloc[i], dtype=np.int64) for i in order]
-    lens = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
-    offs = np.zeros(len(arrs) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
-    return ids, flat, offs
-
-
 # worker-side mmap cache: one entry per distributed blob file; shared
 # page cache across the executor's python workers, survives tasks
 _BLOB_CACHE: dict = {}
+
+# driver-created temp blob dirs, removed at interpreter exit
+_TEMP_BLOBS: list[str] = []
+
+
+def _cleanup_temp_blobs() -> None:
+    import shutil
+
+    for p in _TEMP_BLOBS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_temp_blobs)
 
 
 def ship_blob(spark, name_prefix: str, **arrays) -> dict[str, str]:
@@ -124,25 +131,188 @@ def load_blob(names: dict[str, str]) -> dict[str, np.ndarray]:
     return out
 
 
-def _pair_intersections(
-    flat: np.ndarray, offs: np.ndarray, pos_a: np.ndarray, pos_b: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """|A ∩ B| per pair, rows indexed into the packed blob.
+# ------------------------------------------- executor-side feature blob
+#
+# The round-1 broadcast paths packed the feature table on the DRIVER
+# (toPandas -> numpy -> ship_blob): gigabytes through one process and
+# a serial stage (Amdahl) right before an otherwise-parallel kernel.
+# materialize_feats instead WRITES THE TABLE AS PARQUET (distributed
+# write, no driver hop) and ships the directory via SparkFiles; each
+# python worker packs the table into numpy ONCE (pyarrow read is
+# zero-copy columnar, the pack is vectorized gathers) and caches it.
+# On a multi-node cluster pass ``blob_dir`` on shared storage (NFS /
+# fuse-mounted object store) and the addFile hop is skipped entirely.
 
-    Row-wise padded sort: each pair's concatenated values fill one
-    row of an (n x wmax) INT64_MAX-padded matrix; ``sort(axis=1)`` is
-    one C call, and with duplicate-free sides the intersection is the
-    count of adjacent-equal positions inside the row's real length
-    (pads excluded by position, so a value colliding with the pad
-    stays correct). Returns (inter, len_a, len_b).
+
+def materialize_feats(
+    feats: DataFrame,
+    id_col: str,
+    payload_col: str,
+    name_prefix: str,
+    blob_dir: str | None = None,
+) -> dict:
+    """Write (id, payload) as parquet reachable by every executor;
+    returns a ref dict for ``load_feats`` inside the UDF closure."""
+    import os
+    import tempfile
+    import uuid
+
+    tag = f"{name_prefix}_{uuid.uuid4().hex[:12]}"
+    shipped = blob_dir is None
+    base = tempfile.gettempdir() if blob_dir is None else blob_dir
+    path = os.path.join(base, tag)
+    feats.select(id_col, payload_col).write.parquet(path)
+    if shipped:
+        feats.sparkSession.sparkContext.addFile(path, recursive=True)
+        _TEMP_BLOBS.append(path)
+    return {
+        "tag": tag,
+        "path": None if shipped else path,
+        "id_col": id_col,
+        "payload_col": payload_col,
+    }
+
+
+def _blob_files(ref: dict) -> list[str]:
+    import glob
+    import os
+
+    if ref["path"] is not None:
+        root = ref["path"]
+    else:
+        from pyspark import SparkFiles
+
+        root = SparkFiles.get(ref["tag"])
+    files = sorted(glob.glob(os.path.join(root, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet parts under {root}")
+    return files
+
+
+def _read_id_payload(ref: dict):
+    """(ids int64, flat values np, per-row lens int64) from the blob.
+
+    Uses ``flatten()`` + ``value_lengths()`` (slice- and null-safe,
+    unlike raw ``.values``/``.offsets``); NULL payload rows read as
+    length 0.
     """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_blob_files(ref), columns=[ref["id_col"], ref["payload_col"]])
+    ids = tbl.column(ref["id_col"]).to_numpy().astype(np.int64, copy=False)
+    payload = tbl.column(ref["payload_col"]).combine_chunks()
+    values = payload.flatten().to_numpy(zero_copy_only=False)
+    lens = payload.value_lengths().to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+    null_rows = (
+        payload.is_null().to_numpy(zero_copy_only=False)
+        if payload.null_count
+        else None
+    )
+    return ids, values, lens, null_rows
+
+
+def load_feats_segments(ref: dict):
+    """Worker-side: (sorted_ids, flat int64, offsets) pack of an
+    (id, array<long>) parquet blob, cached per worker process.
+    NULL shingle rows pack as empty sets."""
+    key = ("seg", ref["tag"])
+    if key not in _BLOB_CACHE:
+        ids, values, lens, _ = _read_id_payload(ref)
+        values = values.astype(np.int64, copy=False)
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        order = np.argsort(ids, kind="stable")
+        lens_s = lens[order]
+        offs_s = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens_s, out=offs_s[1:])
+        flat_s = values[np.repeat(offsets[:-1][order], lens_s) + _ramp(lens_s)]
+        _BLOB_CACHE[key] = (ids[order], flat_s, offs_s)
+    return _BLOB_CACHE[key]
+
+
+def load_feats_matrix(ref: dict):
+    """Worker-side: (sorted_ids, float64 matrix, norms) pack of an
+    (id, array<float>) parquet blob, cached per worker process.
+    NULL embedding rows are dropped (NULL-cosine never pairs);
+    raises on ragged rows (embedding dims must agree)."""
+    key = ("mat", ref["tag"])
+    if key not in _BLOB_CACHE:
+        ids, values, lens, null_rows = _read_id_payload(ref)
+        if null_rows is not None:
+            keep = ~null_rows
+            ids, lens = ids[keep], lens[keep]
+            # values from flatten() already exclude null slots
+        if len(ids) == 0:
+            _BLOB_CACHE[key] = (ids, np.zeros((0, 0)), np.zeros(0))
+            return _BLOB_CACHE[key]
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            bad = int(np.argmax(lens != dim))
+            raise ValueError(
+                f"ragged embeddings: row id={ids[bad]} has dim {lens[bad]}, "
+                f"expected {dim}"
+            )
+        mat = values.astype(np.float64, copy=False).reshape(-1, dim)
+        order = np.argsort(ids, kind="stable")
+        mat = mat[order]
+        _BLOB_CACHE[key] = (ids[order], mat, np.linalg.norm(mat, axis=1))
+    return _BLOB_CACHE[key]
+
+
+def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:
+    """(row_count, estimated payload bytes) of an (id, array) table —
+    one aggregate job; 8 bytes per element + 16/row overhead."""
+    row = feats.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.coalesce(F.size(payload_col), F.lit(0))), F.lit(0)).alias(
+            "vals"
+        ),
+    ).first()
+    n = int(row["n"])
+    return n, int(row["vals"]) * 8 + n * 16
+
+
+def _lookup_positions(ids_sorted: np.ndarray, wanted: np.ndarray, side: str):
+    """searchsorted + MEMBERSHIP CHECK: raises instead of silently
+    scoring a neighboring record's features when a pair id is absent
+    from the feature table (ADVICE r1)."""
+    pos = np.searchsorted(ids_sorted, wanted)
+    np.clip(pos, 0, max(len(ids_sorted) - 1, 0), out=pos)
+    if len(ids_sorted) == 0 or not (ids_sorted[pos] == wanted).all():
+        missing = (
+            wanted[ids_sorted[pos] != wanted][:5]
+            if len(ids_sorted)
+            else wanted[:5]
+        )
+        raise KeyError(
+            f"pair column '{side}' contains ids absent from the feature "
+            f"table (sample: {missing.tolist()}); every pair id must "
+            "exist in feats for the broadcast strategy"
+        )
+    return pos
+
+
+# padded-matrix budget for _pair_intersections: 8M int64 cells =
+# 64 MB scratch per python worker (32 workers -> 2 GB total, bounded
+# regardless of how skewed the pair widths are)
+_PAIR_CELLS_BUDGET = 1 << 23
+
+
+def _pair_intersections_block(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    pos_a: np.ndarray,
+    pos_b: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+) -> np.ndarray:
+    """|A ∩ B| for one block of pairs via row-wise padded sort."""
     n = len(pos_a)
-    la = offs[pos_a + 1] - offs[pos_a]
-    lb = offs[pos_b + 1] - offs[pos_b]
     tot = la + lb
     wmax = int(tot.max()) if n else 0
     if wmax == 0:
-        return np.zeros(n, dtype=np.int64), la, lb
+        return np.zeros(n, dtype=np.int64)
     m = np.full((n, wmax), np.iinfo(np.int64).max, dtype=np.int64)
     # gather indices: for each pair, a's slice then b's slice
     idx_a = np.repeat(offs[pos_a], la) + _ramp(la)
@@ -156,7 +326,51 @@ def _pair_intersections(
     m.sort(axis=1)
     eq = m[:, 1:] == m[:, :-1]
     valid = np.arange(1, wmax)[None, :] < tot[:, None]
-    inter = (eq & valid).sum(axis=1)
+    return (eq & valid).sum(axis=1)
+
+
+def _pair_intersections(
+    flat: np.ndarray, offs: np.ndarray, pos_a: np.ndarray, pos_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """|A ∩ B| per pair, rows indexed into the packed blob.
+
+    Row-wise padded sort: each pair's concatenated values fill one
+    row of an (n x wmax) INT64_MAX-padded matrix; ``sort(axis=1)`` is
+    one C call, and with duplicate-free sides the intersection is the
+    count of adjacent-equal positions inside the row's real length
+    (pads excluded by position, so a value colliding with the pad
+    stays correct). Pairs are processed in width-sorted blocks under
+    ``_PAIR_CELLS_BUDGET`` cells so ONE outlier-wide pair can no
+    longer inflate the whole batch's padded matrix (ADVICE r1).
+    Returns (inter, len_a, len_b).
+    """
+    n = len(pos_a)
+    la = offs[pos_a + 1] - offs[pos_a]
+    lb = offs[pos_b + 1] - offs[pos_b]
+    tot = la + lb
+    inter = np.zeros(n, dtype=np.int64)
+    if n == 0 or int(tot.max()) == 0:
+        return inter, la, lb
+    if n * int(tot.max()) <= _PAIR_CELLS_BUDGET:
+        inter = _pair_intersections_block(flat, offs, pos_a, pos_b, la, lb)
+        return inter, la, lb
+    order = np.argsort(tot, kind="stable")
+    start = 0
+    while start < n:
+        width = int(tot[order[start]])
+        rows = max(1, _PAIR_CELLS_BUDGET // max(width, 1))
+        # widths ascend, so the block max is its LAST row's width;
+        # re-derive rows against that to honor the budget
+        end = min(start + rows, n)
+        width_end = int(tot[order[end - 1]])
+        if width_end > width:
+            rows = max(1, _PAIR_CELLS_BUDGET // width_end)
+            end = min(start + rows, n)
+        blk = order[start:end]
+        inter[blk] = _pair_intersections_block(
+            flat, offs, pos_a[blk], pos_b[blk], la[blk], lb[blk]
+        )
+        start = end
     return inter, la, lb
 
 
@@ -179,21 +393,18 @@ def _verify_jaccard_broadcast(
     left: str,
     right: str,
 ) -> DataFrame:
-    spark = pairs.sparkSession
-    ids_, flat_, offs_ = _pack_feats(feats, feat_col, id_col)
-    names = ship_blob(spark, "verify", ids=ids_, flat=flat_, offs=offs_)
+    ref = materialize_feats(feats, id_col, feat_col, "verify")
     thr = threshold
 
     def score(batches):
-        blob = load_blob(names)
-        ids, flat, offs = blob["ids"], blob["flat"], blob["offs"]
+        ids, flat, offs = load_feats_segments(ref)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a = pdf[left].to_numpy(dtype=np.int64)
             b = pdf[right].to_numpy(dtype=np.int64)
-            pos_a = np.searchsorted(ids, a)
-            pos_b = np.searchsorted(ids, b)
+            pos_a = _lookup_positions(ids, a, left)
+            pos_b = _lookup_positions(ids, b, right)
             inter, la, lb = _pair_intersections(flat, offs, pos_a, pos_b)
             union = la + lb - inter
             s = np.divide(
@@ -224,12 +435,17 @@ def verify_jaccard(
 
     ``auto`` takes the broadcast-blob path when the feature table is
     small enough to ship to every executor; the join path otherwise.
-    The broadcast path requires every pair id to exist in ``feats``
-    and returns only (left, right, score) columns. The join path
-    broadcast-hints the feature side when it fits (skips shuffling
-    the shingle arrays; the pair stream stays partitioned in place).
+    Fit decisions are BYTE-based (rows x measured array sizes), not
+    row-count based — shingle arrays are unbounded so a row cap
+    alone can admit a multi-GB payload (ADVICE r1). The broadcast
+    path requires every pair id to exist in ``feats`` (validated
+    worker-side) and returns only (left, right, score) columns. The
+    join path broadcast-hints the feature side when it fits (skips
+    shuffling the shingle arrays; the pair stream stays partitioned
+    in place).
     """
-    feats_fit = feats.count() <= VERIFY_BROADCAST_CAP
+    n_rows, est_bytes = _feat_bytes(feats, feat_col)
+    feats_fit = n_rows <= VERIFY_BROADCAST_CAP and est_bytes <= VERIFY_BROADCAST_MAX_BYTES
     if strategy == "auto":
         extra = set(pairs.columns) - {left, right}
         strategy = "broadcast" if not extra and feats_fit else "join"
@@ -239,7 +455,7 @@ def verify_jaccard(
         )
     fa = feats.select(F.col(id_col).alias(left), F.col(feat_col).alias("_fa"))
     fb = feats.select(F.col(id_col).alias(right), F.col(feat_col).alias("_fb"))
-    if feats_fit:
+    if est_bytes <= JOIN_BROADCAST_MAX_BYTES:
         fa, fb = F.broadcast(fa), F.broadcast(fb)
     j = pairs.join(fa, left).join(fb, right)
     scored = j.withColumn("score", jaccard_similarity("_fa", "_fb")).drop("_fa", "_fb")
@@ -257,30 +473,30 @@ def cosine_threshold_edges(
     """All pairs (a < b, score) with cosine >= threshold — fused
     candidate generation + verification via broadcast matmul.
 
-    The embedding matrix ships once per executor (ship_blob mmap);
-    each partition of rows computes one |batch| x |index| float64
-    matmul and emits only the passing pairs — no |n|^2 pair
-    materialization, no Arrow shipping of arrays per pair. The right
-    plan whenever the matrix fits executor memory (64-dim floats:
-    2M rows ~ 1 GB); above that, use LSH candidates + verify_cosine.
-    Zero-norm rows never pair (NULL-cosine semantics).
+    The embedding table is materialized as parquet executor-side
+    (``materialize_feats`` — a distributed write, NO driver
+    collect/re-ship) and each python worker packs + caches the
+    float64 matrix once; each partition of rows computes one
+    |batch| x |index| float64 matmul and emits only the passing
+    pairs — no |n|^2 pair materialization, no Arrow shipping of
+    arrays per pair. The right plan whenever the matrix fits
+    executor memory (64-dim floats: 2M rows ~ 1 GB); above that, use
+    LSH candidates + verify_cosine. Zero-norm rows never pair
+    (NULL-cosine semantics).
     """
-    spark = feats.sparkSession
-    pdf = feats.select(id_col, emb_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    m = np.vstack([np.asarray(pdf[emb_col].iloc[i], dtype=np.float64) for i in order])
-    norms = np.linalg.norm(m, axis=1)
-    names = ship_blob(spark, "cosedges", ids=ids, mat=m, norms=norms)
+    ref = materialize_feats(feats, id_col, emb_col, "cosedges")
     thr = float(threshold)
 
     def edges(batches):
-        blob = load_blob(names)
-        ids_i, mat, nrm = blob["ids"], np.asarray(blob["mat"]), np.asarray(blob["norms"])
+        ids_i, mat, nrm = load_feats_matrix(ref)
         for pdf_b in batches:
             if len(pdf_b) == 0:
                 continue
+            nn = pdf_b[emb_col].notna()
+            if not nn.all():  # NULL embeddings never pair
+                pdf_b = pdf_b[nn]
+                if len(pdf_b) == 0:
+                    continue
             a_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
             qn = np.linalg.norm(q, axis=1)
