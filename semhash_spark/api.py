@@ -146,12 +146,14 @@ class SparkSemHash:
         selection_size: int | None = None,
         candidate_limit: int | str = "auto",
         diversity: float | None = None,
+        strategy: str | None = None,
     ) -> tuple[list[int], list[float], list[int]]:
         k = self.cfg.selection_size if selection_size is None else selection_size
         d = self.cfg.diversity if diversity is None else diversity
+        s = self.cfg.diversify_strategy if strategy is None else strategy
         return rank_ops.find_representative(
             self.self_rank(), self._embedding_feats(), k, candidate_limit, d,
-            id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+            id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col, strategy=s,
         )
 
     def find_representative(
@@ -160,10 +162,13 @@ class SparkSemHash:
         selection_size: int | None = None,
         candidate_limit: int | str = "auto",
         diversity: float | None = None,
+        strategy: str | None = None,
     ) -> tuple[list[int], list[float], list[int]]:
         k = self.cfg.selection_size if selection_size is None else selection_size
         d = self.cfg.diversity if diversity is None else diversity
+        s = self.cfg.diversify_strategy if strategy is None else strategy
         return rank_ops.find_representative(
             self.rank(query_df), self._query_embedding_feats(query_df), k,
-            candidate_limit, d, id_col=self.cfg.id_col, emb_col=self.cfg.embedding_col,
+            candidate_limit, d, id_col=self.cfg.id_col,
+            emb_col=self.cfg.embedding_col, strategy=s,
         )

@@ -64,6 +64,9 @@ class DedupConfig:
     outlier_percentage: float = 0.1
     selection_size: int = 10
     diversity: float = 0.5
+    # representative-selection strategy: mmr | msd | cover (reference
+    # pyversity surface, semhash/semhash.py:11,333)
+    diversify_strategy: str = "mmr"
 
     # --- containment (substring) stage ---
     containment_threshold: float = 0.9

@@ -59,7 +59,11 @@ def _topk_crossjoin(
     pairs = q.crossJoin(i)
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("index_id"))
-    scored = pairs.withColumn("score", cosine_similarity("_qe", "_ie")).drop("_qe", "_ie")
+    scored = (
+        pairs.withColumn("score", cosine_similarity("_qe", "_ie"))
+        .drop("_qe", "_ie")
+        .where(F.col("score").isNotNull())  # NULL/zero-norm never ranks
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("index_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
@@ -72,57 +76,63 @@ def _topk_broadcast(
     id_col: str,
     emb_col: str,
 ) -> DataFrame:
-    spark = query_feats.sparkSession
-    idx_pdf = index_feats.select(id_col, emb_col).toPandas()
-    idx_ids = idx_pdf[id_col].to_numpy(dtype=np.int64)
-    m = np.vstack([np.asarray(v, dtype=np.float64) for v in idx_pdf[emb_col]])
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m_normed = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
-    zero_norm = norms.ravel() <= 0
-    bc = spark.sparkContext.broadcast((idx_ids, m_normed, zero_norm))
+    """Index matrix reaches the executors via ``materialize_feats``
+    (distributed parquet write + per-worker mmap'd pack — NOT
+    ``sc.broadcast``, whose ~100 MB pickle re-streams per task,
+    measured ~10 s/task at local[32]); per-batch top-k is fully
+    vectorized (2-D argpartition + row-wise lexsort)."""
+    from semhash_spark.operators.verify import load_feats_matrix, materialize_feats
+
+    ref = materialize_feats(index_feats, id_col, emb_col, "topk")
 
     def compute(batches):
-        ids_i, mat, zn = bc.value
+        from semhash_spark.operators.verify import _ramp
+
+        ids_i, mat, nrm = load_feats_matrix(ref)
+        zn = nrm <= 0
+        mn = np.divide(mat, nrm[:, None], out=np.zeros_like(mat), where=nrm[:, None] > 0)
         for pdf in batches:
             if len(pdf) == 0:
+                continue
+            pdf = pdf[pdf[emb_col].notna()]  # NULL queries rank nothing
+            if len(pdf) == 0 or len(ids_i) == 0:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qz = qn.ravel() <= 0
             qm = np.divide(q, qn, out=np.zeros_like(q), where=qn > 0)
-            scores = qm @ mat.T  # |batch| x |index|
+            scores = qm @ mn.T  # |batch| x |index|
             # zero-norm on either side -> NULL semantically: exclude
             scores[:, zn] = -np.inf
             scores[qz, :] = -np.inf
             if exclude_self:
                 self_mask = q_ids[:, None] == ids_i[None, :]
                 scores[self_mask] = -np.inf
-            kk = min(k, scores.shape[1])
-            out_q, out_i, out_s, out_r = [], [], [], []
-            for r in range(scores.shape[0]):
-                row = scores[r]
-                if kk < scores.shape[1]:
-                    part = np.argpartition(-row, kk - 1)[:kk]
-                else:
-                    part = np.arange(scores.shape[1])
-                order = part[np.lexsort((ids_i[part], -row[part]))]
-                valid = row[order] > -np.inf
-                order = order[valid]
-                n = len(order)
-                out_q.append(np.full(n, q_ids[r], dtype=np.int64))
-                out_i.append(ids_i[order])
-                out_s.append(row[order])
-                out_r.append(np.arange(1, n + 1, dtype=np.int64))
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "index_id": np.concatenate(out_i),
-                        "score": np.concatenate(out_s),
-                        "rk": np.concatenate(out_r),
-                    }
-                )
+            n_idx = scores.shape[1]
+            kk = min(k, n_idx)
+            if kk < n_idx:
+                part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(n_idx), scores.shape).copy()
+            ps = np.take_along_axis(scores, part, axis=1)
+            pid = ids_i[part]
+            # per-row (score desc, id asc) via lexsort along the last axis
+            order = np.lexsort((pid, -ps), axis=1)
+            sorted_s = np.take_along_axis(ps, order, axis=1)
+            sorted_i = np.take_along_axis(pid, order, axis=1)
+            valid = sorted_s > -np.inf
+            counts = valid.sum(axis=1)
+            if counts.sum() == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, counts),
+                    "index_id": sorted_i[valid],
+                    "score": sorted_s[valid],
+                    "rk": _ramp(counts) + 1,
+                }
+            )
 
     return query_feats.select(id_col, emb_col).mapInPandas(
         compute, "query_id long, index_id long, score double, rk long"
@@ -144,8 +154,16 @@ def topk_scores(
     vectors never rank (mirrors NULL-cosine semantics).
     """
     if strategy == "auto":
+        from semhash_spark.operators.verify import (
+            VERIFY_BROADCAST_MAX_BYTES,
+            _feat_bytes,
+        )
+
+        n_idx, idx_bytes = _feat_bytes(index_feats, emb_col)
         strategy = (
-            "broadcast" if index_feats.count() <= BROADCAST_TOPK_CAP else "crossjoin"
+            "broadcast"
+            if n_idx <= BROADCAST_TOPK_CAP and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
+            else "crossjoin"
         )
     fn = {"broadcast": _topk_broadcast, "crossjoin": _topk_crossjoin}[strategy]
     return fn(query_feats, index_feats, k, exclude_self, id_col, emb_col)
@@ -171,6 +189,58 @@ def rank_by_avg_similarity(
     )
 
 
+# boundary searches switch from direct TakeOrdered to quantile
+# bracketing above this many rows (driver merge of per-partition
+# top-k stays bounded)
+OUTLIER_DIRECT_CAP = 2_000_000
+
+
+def _boundary_key(proj: DataFrame, cnt: int) -> tuple[float, int]:
+    """Exact (avg_score, query_id) of the ``cnt``-th smallest row
+    under (avg_score asc, query_id desc) — distributed selection.
+
+    Small ``cnt``: TakeOrderedAndProject over the 2-column projection
+    (per-partition top-cnt, bounded driver merge). Large ``cnt``:
+    approxQuantile bracketing narrows the candidate set each round
+    (every round provably shrinks: the quantile is a data value, so
+    at least its own ties leave the set) until the direct path fits.
+    No single-partition window anywhere.
+    """
+
+    def direct(df: DataFrame, k: int) -> tuple[float, int]:
+        lim = df.orderBy(F.asc("avg_score"), F.desc("query_id")).limit(k)
+        row = lim.agg(
+            F.max_by(
+                F.struct(F.col("avg_score").alias("s"), F.col("query_id").alias("i")),
+                F.struct(F.col("avg_score"), (-F.col("query_id")).alias("ni")),
+            ).alias("b")
+        ).first()["b"]
+        return float(row["s"]), int(row["i"])
+
+    df, k = proj, cnt
+    for _ in range(16):
+        if k <= OUTLIER_DIRECT_CAP:
+            return direct(df, k)
+        n = df.count()
+        s = df.approxQuantile("avg_score", [min(1.0, k / n)], 0.001)[0]
+        n_lt = df.where(F.col("avg_score") < s).count()
+        if k <= n_lt and n_lt < n:
+            df = df.where(F.col("avg_score") < s)
+            continue
+        n_le = df.where(F.col("avg_score") <= s).count()
+        if k > n_le and n_le > 0:
+            df = df.where(F.col("avg_score") > s)
+            k -= n_le
+            continue
+        # the boundary score IS s: pick the (k - n_lt)-th id among
+        # its ties, descending (ids are unique)
+        ties = df.where(F.col("avg_score") == s).select("query_id")
+        kk = k - n_lt
+        lim = ties.orderBy(F.desc("query_id")).limit(kk)
+        return float(s), int(lim.agg(F.min("query_id").alias("i")).first()["i"])
+    return direct(df, k)  # degenerate distribution: give up narrowing
+
+
 def filter_outliers(
     ranking: DataFrame, outlier_percentage: float
 ) -> tuple[DataFrame, DataFrame]:
@@ -179,18 +249,29 @@ def filter_outliers(
     outlier_count = ceil(n * pct) (reference :400); the bottom slice
     of the descending ranking. Returns DataFrames with
     (query_id, avg_score).
+
+    Scale-safe plan: instead of a GLOBAL un-partitioned row_number
+    window (one task ranks everything), the exact cut boundary —
+    the cnt-th smallest (avg_score, query_id desc) — is computed by
+    distributed selection and applied as a broadcast filter
+    predicate. ids are unique within a ranking, so exactly ``cnt``
+    rows satisfy the boundary predicate: identical semantics, no
+    single-partition exchange.
     """
     if outlier_percentage < 0.0 or outlier_percentage > 1.0:
         raise ValueError("outlier_percentage must be between 0 and 1")
+    ranking = ranking.persist()
     n = ranking.count()
     cnt = math.ceil(n * outlier_percentage)
     if cnt == 0:
         return ranking, ranking.limit(0)
-    w = Window.orderBy(F.col("avg_score").asc(), F.col("query_id").desc())
-    tagged = ranking.withColumn("_rk", F.row_number().over(w))
-    outliers = tagged.where(F.col("_rk") <= cnt).drop("_rk")
-    inliers = tagged.where(F.col("_rk") > cnt).drop("_rk")
-    return inliers, outliers
+    if cnt >= n:
+        return ranking.limit(0), ranking
+    bs, bi = _boundary_key(ranking.select("avg_score", "query_id"), cnt)
+    is_outlier = (F.col("avg_score") < F.lit(bs)) | (
+        (F.col("avg_score") == F.lit(bs)) & (F.col("query_id") >= F.lit(bi))
+    )
+    return ranking.where(~is_outlier), ranking.where(is_outlier)
 
 
 def compute_candidate_limit(
@@ -250,6 +331,110 @@ def mmr_select(
     return selected, scores
 
 
+def msd_select(
+    embeddings: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity: float,
+) -> tuple[list[int], list[float]]:
+    """Greedy Max-Sum-Dispersion selection.
+
+    score(c) = (1 - diversity) * relevance[c]
+               + diversity * mean_{s in S} (1 - sim(c, s))
+    First pick = highest relevance; at diversity 0 this is pure
+    relevance order (same pin as MMR). Greedy 1/2-approximation of
+    the dispersion objective (Borodin et al., PODS 2012 max-sum
+    diversification). Covers the reference's pyversity ``strategy=``
+    surface (semhash/semhash.py:11,333) with a documented formula.
+    """
+    n = len(relevance)
+    k = min(k, n)
+    if k == 0:
+        return [], []
+    norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+    normed = np.divide(embeddings, norms, where=norms > 0)
+    sims = normed @ normed.T
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = set(range(n))
+    first = int(np.argmax(relevance))
+    selected.append(first)
+    scores.append(float(relevance[first]))
+    remaining.discard(first)
+    while len(selected) < k and remaining:
+        rem = sorted(remaining)
+        mean_dist = 1.0 - sims[np.ix_(rem, selected)].mean(axis=1)
+        obj = (1.0 - diversity) * relevance[rem] + diversity * mean_dist
+        best_pos = int(np.argmax(obj))
+        best = rem[best_pos]
+        selected.append(best)
+        scores.append(float(obj[best_pos]))
+        remaining.discard(best)
+    return selected, scores
+
+
+def cover_select(
+    embeddings: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity: float,
+) -> tuple[list[int], list[float]]:
+    """Greedy facility-location COVER selection.
+
+    cover(x) after selecting S = max_{s in S} sim(x, s);
+    gain(c) = mean_x max(0, sim(x, c) - cover(x));
+    score(c) = (1 - diversity) * relevance[c] + diversity * gain(c).
+    Submodular coverage objective — classic greedy (1 - 1/e)
+    guarantee (Nemhauser et al. 1978). First pick = highest
+    relevance; diversity 0 = pure relevance order.
+    """
+    n = len(relevance)
+    k = min(k, n)
+    if k == 0:
+        return [], []
+    norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+    normed = np.divide(embeddings, norms, where=norms > 0)
+    sims = normed @ normed.T
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = set(range(n))
+    first = int(np.argmax(relevance))
+    selected.append(first)
+    scores.append(float(relevance[first]))
+    remaining.discard(first)
+    cover = sims[:, first].copy()
+    while len(selected) < k and remaining:
+        rem = sorted(remaining)
+        gain = np.maximum(sims[:, rem] - cover[:, None], 0.0).mean(axis=0)
+        obj = (1.0 - diversity) * relevance[rem] + diversity * gain
+        best_pos = int(np.argmax(obj))
+        best = rem[best_pos]
+        selected.append(best)
+        scores.append(float(obj[best_pos]))
+        remaining.discard(best)
+        np.maximum(cover, sims[:, best], out=cover)
+    return selected, scores
+
+
+_DIVERSIFY = {"mmr": mmr_select, "msd": msd_select, "cover": cover_select}
+
+
+def diversify(
+    embeddings: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity: float,
+    strategy: str = "mmr",
+) -> tuple[list[int], list[float]]:
+    """Dispatch over the reference's ``strategy=`` surface
+    (semhash/semhash.py:11,333: pyversity MMR/MSD/COVER...)."""
+    if strategy not in _DIVERSIFY:
+        raise ValueError(
+            f"unknown diversify strategy {strategy!r}; one of {sorted(_DIVERSIFY)}"
+        )
+    return _DIVERSIFY[strategy](embeddings, relevance, k, diversity)
+
+
 def find_representative(
     ranking: DataFrame,
     feats: DataFrame,
@@ -258,6 +443,7 @@ def find_representative(
     diversity: float = 0.5,
     id_col: str = "record_id",
     emb_col: str = "embedding",
+    strategy: str = "mmr",
 ) -> tuple[list[int], list[float], list[int]]:
     """Top-candidate MMR selection; returns (selected_ids, scores,
     filtered_ids). Collects <= max(candidate_limit, 1000) rows — the
@@ -279,7 +465,7 @@ def find_representative(
     emb_map = {int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64) for r in emb_rows}
     embs = np.stack([emb_map[i] for i in cand_ids])
 
-    sel_pos, sel_scores = mmr_select(embs, relevance, selection_size, diversity)
+    sel_pos, sel_scores = diversify(embs, relevance, selection_size, diversity, strategy)
     sel_ids = [cand_ids[p] for p in sel_pos]
     filtered_ids = [cid for p, cid in enumerate(cand_ids) if p not in set(sel_pos)]
     return sel_ids, sel_scores, filtered_ids

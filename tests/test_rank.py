@@ -1,0 +1,105 @@
+"""Ranking / outlier / diversification regressions (round 2).
+
+filter_outliers must keep its exact ceil-count + tie-break semantics
+WITHOUT a single-partition global window (VERDICT r1 #1); topk must
+keep its deterministic output after the ship-blob rewrite; the
+MSD/COVER strategies mirror the reference's pyversity surface."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import semhash_spark.operators.rank as rank_ops
+from semhash_spark.operators.rank import (
+    cover_select,
+    diversify,
+    filter_outliers,
+    mmr_select,
+    msd_select,
+    topk_scores,
+)
+
+
+def _ranking(spark, scores):
+    return spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "query_id long, avg_score double"
+    ).repartition(4)
+
+
+def _expected_outliers(scores, pct):
+    cnt = math.ceil(len(scores) * pct)
+    order = sorted(range(len(scores)), key=lambda i: (scores[i], -i))
+    return set(order[:cnt])
+
+
+def test_filter_outliers_exact_count_and_ties(spark):
+    # heavy ties: boundary tie-break (score asc, id desc) must be exact
+    scores = [0.5] * 20 + [0.1] * 5 + [0.9] * 15
+    r = _ranking(spark, scores)
+    for pct in (0.1, 0.2, 0.5, 0.62):
+        inl, outl = filter_outliers(r, pct)
+        got = {row["query_id"] for row in outl.collect()}
+        assert got == _expected_outliers(scores, pct), pct
+        assert inl.count() + outl.count() == len(scores)
+
+
+def test_filter_outliers_no_single_partition_window(spark):
+    r = _ranking(spark, [float(i) for i in range(50)])
+    inl, outl = filter_outliers(r, 0.1)
+    for df in (inl, outl):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+
+
+def test_boundary_key_quantile_path_matches_direct(spark, monkeypatch):
+    # force the approxQuantile bracketing loop and compare to truth
+    rng = np.random.default_rng(7)
+    scores = np.round(rng.random(400), 2)  # many ties
+    r = _ranking(spark, scores.tolist()).persist()
+    monkeypatch.setattr(rank_ops, "OUTLIER_DIRECT_CAP", 10)
+    for pct in (0.1, 0.33):
+        inl, outl = filter_outliers(r, pct)
+        got = {row["query_id"] for row in outl.collect()}
+        assert got == _expected_outliers(scores.tolist(), pct)
+
+
+def test_topk_broadcast_null_and_determinism(spark):
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(30)]
+    rows.append((30, None))
+    emb = spark.createDataFrame(rows, "record_id long, embedding array<double>").repartition(3)
+    tk = topk_scores(emb, emb, 5, exclude_self=True, strategy="broadcast")
+    out = {(r["query_id"], r["rk"]): r["index_id"] for r in tk.collect()}
+    ref = topk_scores(emb, emb, 5, exclude_self=True, strategy="crossjoin")
+    expect = {(r["query_id"], r["rk"]): r["index_id"] for r in ref.collect()}
+    assert out == expect
+    assert not any(q == 30 for q, _ in out)  # null query ranks nothing
+
+
+@pytest.mark.parametrize("select_fn", [mmr_select, msd_select, cover_select])
+def test_diversity_zero_is_relevance_order(select_fn):
+    emb = np.eye(6)
+    rel = np.array([0.1, 0.9, 0.3, 0.8, 0.2, 0.5])
+    sel, _ = select_fn(emb, rel, 4, diversity=0.0)
+    assert sel == [1, 3, 5, 2]
+
+
+@pytest.mark.parametrize("select_fn", [msd_select, cover_select])
+def test_diversity_one_spreads_across_clusters(select_fn):
+    # two tight clusters; relevance favors cluster A — full diversity
+    # must still pick from cluster B by the second selection
+    a = np.array([1.0, 0.0]);  b = np.array([0.0, 1.0])
+    emb = np.vstack([a, a + 0.01, a + 0.02, b, b + 0.01])
+    rel = np.array([1.0, 0.99, 0.98, 0.1, 0.09])
+    sel, _ = select_fn(emb, rel, 2, diversity=1.0)
+    assert sel[0] == 0 and sel[1] in (3, 4)
+
+
+def test_diversify_dispatch_and_unknown():
+    emb = np.eye(3)
+    rel = np.array([0.3, 0.2, 0.1])
+    assert diversify(emb, rel, 2, 0.5, "msd")[0][0] == 0
+    with pytest.raises(ValueError, match="unknown diversify strategy"):
+        diversify(emb, rel, 2, 0.5, "dpp")
