@@ -26,6 +26,55 @@ from semhash_spark.operators import rank as rank_ops
 from semhash_spark.operators.exact import self_exact_dedup
 
 
+def _validate_records(df: DataFrame, cfg: DedupConfig) -> None:
+    """Input validation mirroring reference ``prepare_records``
+    (semhash/utils.py:127-153) and ``from_records`` error paths:
+    empty input and missing declared columns fail fast with the
+    reference's messages instead of a cryptic late AnalysisException."""
+    missing = [c for c in (*cfg.columns, cfg.id_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"records are missing declared column(s) {missing}; available: "
+            f"{df.columns} (Columns must be specified when passing tables.)"
+        )
+    if df.isEmpty():
+        raise ValueError("records must not be empty")
+
+
+def _validate_embeddings(df: DataFrame, emb_col: str, id_col: str) -> None:
+    """Mirror reference ``from_embeddings`` validation
+    (semhash/semhash.py:100-168): the embedding column must exist, be
+    an array type, contain no NULLs (an embedding per record), and be
+    rectangular (one consistent dim — the 2D-array check)."""
+    if emb_col not in df.columns:
+        raise ValueError(
+            f"embedding column {emb_col!r} not found; available: {df.columns}"
+        )
+    dtype = dict(df.dtypes)[emb_col]
+    if not dtype.startswith("array"):
+        raise ValueError(
+            f"embeddings must be a 2D array (array column), got {emb_col}: {dtype}"
+        )
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.count(emb_col).alias("n_emb"),
+        F.min(F.size(emb_col)).alias("dmin"),
+        F.max(F.size(emb_col)).alias("dmax"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError("records must not be empty")
+    if row["n_emb"] != row["n"]:
+        raise ValueError(
+            f"Number of embeddings ({row['n_emb']}) must match number of "
+            f"records ({row['n']}) — {row['n'] - row['n_emb']} NULL embeddings"
+        )
+    if row["dmin"] != row["dmax"]:
+        raise ValueError(
+            f"embeddings must be a 2D array: ragged dims [{row['dmin']}, "
+            f"{row['dmax']}] in column {emb_col!r}"
+        )
+
+
 class SparkSemHash:
     def __init__(self, cfg: DedupConfig | None = None, mode: str = "minhash") -> None:
         self.cfg = cfg or DedupConfig()
@@ -40,6 +89,7 @@ class SparkSemHash:
         """Exact-dedup + featurize exemplars (reference from_records,
         semhash/semhash.py:43-98). ``df`` must carry cfg.id_col."""
         cfg = self.cfg
+        _validate_records(df, cfg)
         self._df = df
         keyed = self_exact_dedup(df, cfg.columns, cfg.id_col)
         self._exemplars = keyed.where(~F.col("is_exact_dup")).persist()
@@ -51,6 +101,8 @@ class SparkSemHash:
         precomputed vectors; keeps the FIRST (min record_id) row's
         embedding per exact group."""
         cfg = self.cfg.with_(embedding_col=emb_col)
+        _validate_records(df, cfg)
+        _validate_embeddings(df, emb_col, cfg.id_col)
         self.cfg = cfg
         self.mode = "cosine"
         self._df = df

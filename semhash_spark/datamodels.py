@@ -18,7 +18,7 @@ collects more than scalars or explicitly-bounded lists.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +35,20 @@ class DedupResult:
     threshold: float
     columns: tuple[str, ...]
     id_col: str = "record_id"
+    # intermediate frames the pipeline persisted on this result's
+    # behalf; release() drops them when the caller is done inspecting
+    _persisted: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist pipeline intermediates (VERDICT r1: results used
+        to leak their cached stages for the session lifetime). The
+        result DataFrames stay valid — they just recompute."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     # --- stats (reference :72-84) ---
     def counts(self) -> tuple[int, int, int]:
@@ -90,13 +104,23 @@ class DedupResult:
 
         ``collect_list`` bounded by ``slice`` — at scale the full
         mapping stays relational in ``pairs``; this is the inspection
-        view."""
+        view. Bucket entries are DEDUPED (``array_distinct``) before
+        slicing, mirroring the reference deduping bucket entries by
+        canonical JSON (semhash/datamodels.py:111-149). No cache to
+        invalidate on ``rethreshold``: the view is recomputed lazily
+        from the NEW result object (reference :97-109 has to clear
+        its memo; ``replace`` semantics make that structural here).
+        """
         grouped = (
             self.filtered.groupBy("exemplar_id")
             .agg(
                 F.slice(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col(self.id_col).alias("dup_id"), "score"))
+                    F.array_distinct(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(F.col(self.id_col).alias("dup_id"), "score")
+                            )
+                        )
                     ),
                     1,
                     limit_per_group,

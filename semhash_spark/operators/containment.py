@@ -149,6 +149,7 @@ def lcs_confirm(
     id_col: str = "record_id",
     content_col: str = "content",
     min_frac: float = 0.8,
+    max_pairs: int | None = 1_000_000,
 ) -> DataFrame:
     """Confirm containment candidates by LONGEST COMMON SUBSTRING:
     keep pairs whose longest shared character run covers at least
@@ -160,7 +161,22 @@ def lcs_confirm(
     runs Arrow-batched.
 
     Output: (a, b, score, lcs_frac).
+
+    :param max_pairs: guard on the surviving-candidate volume — the
+        per-pair automaton is the heaviest Python in the repo, so an
+        unexpectedly permissive anchor_mod/threshold should fail fast
+        with sizing guidance instead of burning hours (VERDICT r1 #4
+        / ADVICE). ``None`` disables the check (and its count job).
     """
+    if max_pairs is not None:
+        n_pairs = pairs.count()
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"lcs_confirm received {n_pairs} candidate pairs "
+                f"(> max_pairs={max_pairs}); raise anchor_mod / "
+                "containment_threshold to shrink the candidate set, or "
+                "pass max_pairs=None to force the run"
+            )
     c = content_df.select(F.col(id_col), F.col(content_col))
     j = (
         pairs.join(c.select(F.col(id_col).alias("a"),

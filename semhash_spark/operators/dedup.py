@@ -158,6 +158,7 @@ def self_deduplicate(
     """
     threshold = cfg.threshold if threshold is None else threshold
     id_col = cfg.id_col
+    persisted: list = []
 
     def ck(name, build):
         return checkpointer.stage(name, build) if checkpointer else build()
@@ -168,6 +169,7 @@ def self_deduplicate(
         # without a parquet checkpoint, cache the shared stages so
         # each action doesn't replay the exact window + LSH joins
         keyed = keyed.persist()
+        persisted.append(keyed)
     exemplars = keyed.where(~F.col("is_exact_dup"))
     exact_dups = keyed.where(F.col("is_exact_dup"))
 
@@ -188,6 +190,7 @@ def self_deduplicate(
         # computed arrays instead of re-deriving them per reference
         # (with a checkpointer the parquet stage plays this role)
         feats = feats.persist()
+        persisted.append(feats)
 
     from semhash_spark.operators.verify import (
         VERIFY_BROADCAST_CAP,
@@ -228,6 +231,7 @@ def self_deduplicate(
         edges = edges.unionByName(extra_edges.select("a", "b", "score")).distinct()
     if checkpointer is None:
         edges = edges.persist()
+        persisted.append(edges)
 
     cc = ck(
         f"clusters_{mode}",
@@ -294,6 +298,7 @@ def self_deduplicate(
         threshold=threshold,
         columns=tuple(cfg.columns),
         id_col=id_col,
+        _persisted=persisted,
     )
 
 
@@ -316,8 +321,10 @@ def deduplicate(
     threshold = cfg.threshold if threshold is None else threshold
     id_col = cfg.id_col
 
+    persisted: list = []
     kept, exact_dups = cross_exact_split(query_df, index_df, cfg.columns, id_col)
     kept = kept.persist()
+    persisted.append(kept)
 
     # the index side collapses to exact-group exemplars before matching
     idx_ex = self_exact_dedup(index_df, cfg.columns, id_col)
@@ -327,7 +334,9 @@ def deduplicate(
 
     if index_feats is None:
         index_feats = add_features(idx_exemplars, cfg, mode).persist()
+        persisted.append(index_feats)
     q_feats = add_features(kept, cfg, mode).persist()
+    persisted.append(q_feats)
 
     if mode == "minhash":
         qb = band_table(q_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
@@ -369,6 +378,7 @@ def deduplicate(
             .drop("_fa", "_fb")
         )
     hits = scored.where(F.col("score") >= threshold).persist()
+    persisted.append(hits)
 
     best = hits.groupBy("query_id").agg(
         F.max_by(F.col("index_id"), F.struct(F.col("score"), -F.col("index_id"))).alias(
@@ -410,4 +420,5 @@ def deduplicate(
         threshold=threshold,
         columns=tuple(cfg.columns),
         id_col=id_col,
+        _persisted=persisted,
     )

@@ -30,7 +30,9 @@ EXACT_KEY = "exact_key"
 
 
 def with_exact_key(df: DataFrame, columns) -> DataFrame:
-    return df.withColumn(EXACT_KEY, exact_key(columns))
+    # df passed through so complex-typed columns key via canonical
+    # JSON (reference datamodels.py:139-146)
+    return df.withColumn(EXACT_KEY, exact_key(columns, df))
 
 
 def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataFrame:
