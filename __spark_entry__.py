@@ -281,15 +281,27 @@ def q_containment_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # F5: simhash banding + hamming filter (no SQL oracle: xxhash64
-    # has no DuckDB equivalent -> rows-only check)
-    # persist the shingles frame: the InMemoryRelation boundary keeps
-    # CollapseProject from inlining the SQL-lambda shingle expression
-    # into the pandas-UDF argument (Spark 4.1 extraction limitation)
+    # F5: simhash banding + hamming filter, VALUE-HASH checkable:
+    # shingle hashes come from sha256 (60-bit prefix) instead of
+    # xxhash64 so DuckDB can recompute the identical fingerprints;
+    # the operator path (simhash64 kernel, pigeonhole banding,
+    # hamming verify) is exactly the production one. Banding 4x16
+    # bits over a 60-bit value keeps the pigeonhole guarantee
+    # (hamming <= 3 => >= 1 shared band), so the emitted set is the
+    # COMPLETE hamming<=3 pair set — deterministic, not
+    # recall-dependent. The xxhash64 fast path stays covered by
+    # tests/test_simhash.py.
+    from semhash_spark.functions.hashing import shingle_strings
+
     docs = _documents(spark, sf_dir).select(
-        "record_id", shingle_hashes("text", 3).alias("shingles")
-    ).persist()
-    sims = docs.select("record_id", simhash64("shingles").alias("sim64")).persist()
+        "record_id", shingle_strings("text", 3).alias("shs")
+    )
+    hv = F.transform(
+        F.col("shs"),
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long"),
+    )
+    feats = docs.select("record_id", hv.alias("shingles")).persist()
+    sims = feats.select("record_id", simhash64("shingles").alias("sim64")).persist()
     banded = sims.withColumn("shb", simhash_bands("sim64", 4))
     bt = explode_band_array(banded, "shb", "record_id")
     cands = candidate_pairs_self(bt, 1000, "record_id")
@@ -725,6 +737,104 @@ FROM best GROUP BY cluster_id
 
 _MEDIA_BYTES = "octet_length(encode(repeat(text, 20)))"
 
+# --- sha-simhash oracle (value-hash for F5) ---------------------------
+# 60-bit shingle hash = first 15 hex chars of sha256, identical on
+# both engines; fingerprint = per-bit unit-weight majority vote.
+_HEX15 = (
+    "list_sum([ (strpos('0123456789abcdef', substr(sha256(s), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4*(15-i))) FOR i IN range(1, 16) ])"
+)
+
+_SIMHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SH3.replace('w[', 'toks[').replace('len(w)', 'len(toks)')} AS g
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+),
+hv AS (SELECT doc_id, [ {_HEX15} FOR s IN g ] AS h FROM sh),
+fp AS (
+  SELECT doc_id,
+         list_sum([ CASE WHEN 2 * list_sum([ (hh >> b) & 1 FOR hh IN h ]) > len(h)
+                         THEN (1::BIGINT << b) ELSE 0 END
+                    FOR b IN range(0, 60) ]) AS sim
+  FROM hv)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+def _hyperplane_sql() -> str:
+    """Random-hyperplane LSH + exact-cosine verify, reproduced in SQL
+    by INLINING the seeded Gaussian matrix (same PCG64(42) family as
+    functions/vectors.hyperplane_bands) — the full candidate
+    generation (sign bits -> salted band words -> band-equality join)
+    and verification run independently in DuckDB, giving the LSH
+    cosine path a value-hash oracle instead of rows-only."""
+    import numpy as np
+
+    bits, bands, seed, dim = 64, 16, 42, 64
+    width = bits // bands
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h = rng.standard_normal((bits, dim))
+    hlit = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in h
+    ) + "]"
+    return f"""
+WITH H AS (SELECT {hlit} AS m),
+bitsv AS (
+  SELECT vec_id,
+         [ CASE WHEN list_dot_product(embedding::DOUBLE[], m[i]) > 0
+                THEN 1::BIGINT ELSE 0::BIGINT END
+           FOR i IN range(1, {bits} + 1) ] AS bits
+  FROM embeddings, H
+),
+words AS (
+  SELECT vec_id,
+         [ xor(list_sum([ bits[b*{width} + j + 1] << j FOR j IN range(0, {width}) ]),
+               (b::BIGINT << 56))
+           FOR b IN range(0, {bands}) ] AS w
+  FROM bitsv
+),
+bw AS (SELECT vec_id, unnest(w) AS word, unnest(range(0, {bands})) AS band FROM words),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM bw a JOIN bw b ON a.band = b.band AND a.word = b.word AND a.vec_id < b.vec_id
+)
+SELECT i AS a, j AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS score
+FROM cand JOIN embeddings x ON x.vec_id = cand.i JOIN embeddings y ON y.vec_id = cand.j
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {COSINE_T}
+"""
+
+
+# --- pinned goldens (VERDICT r1 #4) -----------------------------------
+# containment_lcs and representatives are deterministic but not
+# SQL-expressible (suffix-automaton LCS; driver-side MMR). Their
+# sf0.01 outputs are pinned as literal golden tables so the driver's
+# value-hash gate covers them; regenerate with tools/gen_goldens.py
+# if the testdata or the algorithms change.
+_LCS_GOLDEN = [
+    (8, 245, 1.0), (26, 455, 1.0), (31, 383, 1.0), (44, 446, 1.0),
+    (45, 267, 1.0), (45, 413, 1.0), (58, 293, 1.0), (61, 185, 1.0),
+    (70, 447, 1.0), (72, 377, 1.0), (87, 134, 1.0), (92, 450, 1.0),
+    (98, 290, 1.0), (107, 387, 1.0), (120, 332, 1.0), (152, 178, 1.0),
+    (166, 323, 1.0), (267, 413, 1.0), (285, 301, 1.0), (295, 374, 1.0),
+    (310, 389, 1.0), (326, 457, 1.0), (393, 420, 1.0), (435, 486, 1.0),
+    (458, 462, 1.0),
+]
+_REP_GOLDEN = [
+    (254, 1), (350, 2), (443, 3), (70, 4), (89, 5),
+    (386, 6), (126, 7), (263, 8), (60, 9), (20, 10),
+]
+
+_LCS_GOLDEN_SQL = "SELECT a::BIGINT AS a, b::BIGINT AS b, lcs_frac::DOUBLE AS lcs_frac FROM (VALUES " + ", ".join(
+    f"({a}, {b}, {f})" for a, b, f in _LCS_GOLDEN
+) + ") t(a, b, lcs_frac)"
+
+_REP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VALUES " + ", ".join(
+    f"({v}, {p})" for v, p in _REP_GOLDEN
+) + ") t(vec_id, pos)"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -863,7 +973,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM ranked
             WHERE rk <= ceil((SELECT count(*) FROM r) * 0.2)
         """,
-        # containment_lcs (no SQL longest-common-substring),
-        # simhash_pairs, hyperplane_cosine_pairs (probabilistic LSH
-        # recall), representatives (driver-side MMR): rows-only
+        "simhash_pairs": _SIMHASH_SQL,
+        "hyperplane_cosine_pairs": _hyperplane_sql(),
+        "containment_lcs": _LCS_GOLDEN_SQL,
+        "representatives": _REP_GOLDEN_SQL,
     }
