@@ -149,19 +149,32 @@ def self_deduplicate(
     threshold: float | None = None,
     checkpointer=None,
     extra_edges: DataFrame | None = None,
+    stage_times: dict | None = None,
 ) -> DedupResult:
     """Dedup within one table. ``df`` must carry ``cfg.id_col``.
 
     :param extra_edges: optional additional duplicate edges (a, b,
         score) to union in before clustering — the containment
         (substring) stage feeds this.
+    :param stage_times: pass a dict to FORCE stage-by-stage
+        materialization and collect per-stage wall-clock (bench
+        instrumentation; adds count() barriers, so leave None in
+        production).
     """
+    import time as _time
+
     threshold = cfg.threshold if threshold is None else threshold
     id_col = cfg.id_col
     persisted: list = []
 
     def ck(name, build):
         return checkpointer.stage(name, build) if checkpointer else build()
+
+    def mark(name, frame):
+        if stage_times is not None:
+            t0 = _time.perf_counter()
+            frame.count()
+            stage_times[name] = round(_time.perf_counter() - t0, 3)
 
     keyed = ck("exact", lambda: self_exact_dedup(df, cfg.columns, id_col))
     if checkpointer is None:
@@ -170,6 +183,7 @@ def self_deduplicate(
         # each action doesn't replay the exact window + LSH joins
         keyed = keyed.persist()
         persisted.append(keyed)
+    mark("exact", keyed)
     exemplars = keyed.where(~F.col("is_exact_dup"))
     exact_dups = keyed.where(F.col("is_exact_dup"))
 
@@ -191,6 +205,7 @@ def self_deduplicate(
         # (with a checkpointer the parquet stage plays this role)
         feats = feats.persist()
         persisted.append(feats)
+    mark("featurize", feats)
 
     from semhash_spark.operators.verify import (
         VERIFY_BROADCAST_CAP,
@@ -221,6 +236,10 @@ def self_deduplicate(
         cands = ck(
             f"candidates_{mode}", lambda: _candidates_self(feats, cfg, mode, id_col)
         )
+        if stage_times is not None:
+            cands = cands.persist()
+            persisted.append(cands)
+            mark("candidates", cands)
         edges = ck(
             f"edges_{mode}",
             lambda: _verify(cands, feats, cfg, mode, id_col, threshold).select(
@@ -232,6 +251,7 @@ def self_deduplicate(
     if checkpointer is None:
         edges = edges.persist()
         persisted.append(edges)
+    mark("verify", edges)
 
     cc = ck(
         f"clusters_{mode}",

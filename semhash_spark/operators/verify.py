@@ -212,12 +212,71 @@ def _read_id_payload(ref: dict):
     return ids, values, lens, null_rows
 
 
+def _pack_once_per_executor(ref: dict, kind: str, builder):
+    """Executor-level pack cache: the FIRST python worker to need the
+    blob packs it and writes .npy files next to the fetched parquet
+    (atomic rename + done marker); every other worker — and every
+    later task — mmaps the shared files. Without this, each of N
+    concurrent workers would decode+pack the parquet independently
+    (measured 6x slowdown of the verify stage at local[32]); with it
+    the pack cost is paid once per executor and the OS page cache is
+    shared, matching round 1's ship_blob behavior minus its serial
+    driver pack.
+
+    ``builder`` returns an ordered dict of numpy arrays to persist.
+    """
+    import os
+    import time as _time
+
+    key = (kind, ref["tag"])
+    if key in _BLOB_CACHE:
+        return _BLOB_CACHE[key]
+    root = os.path.dirname(_blob_files(ref)[0])
+    base = os.path.join(root, f"_packed_{kind}")
+    done = base + ".done"
+    lock = base + ".lock"
+
+    def _mmap():
+        names = sorted(
+            f for f in os.listdir(root)
+            if f.startswith(f"_packed_{kind}__") and f.endswith(".npy")
+        )
+        return tuple(
+            np.load(os.path.join(root, f), mmap_mode="r") for f in names
+        )
+
+    if not os.path.exists(done):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)  # we won the pack
+            try:
+                arrays = builder()
+                for i, arr in enumerate(arrays):
+                    path = os.path.join(root, f"_packed_{kind}__{i:02d}.npy")
+                    np.save(path + ".tmp.npy", np.ascontiguousarray(arr))
+                    os.rename(path + ".tmp.npy", path)
+                with open(done + ".tmp", "w") as fh:
+                    fh.write("ok")
+                os.rename(done + ".tmp", done)
+            except BaseException:
+                os.unlink(lock)  # let another worker retry
+                raise
+        except FileExistsError:
+            deadline = _time.time() + 600
+            while not os.path.exists(done):
+                if _time.time() > deadline:
+                    raise TimeoutError(f"pack of {base} never completed")
+                _time.sleep(0.05)
+    _BLOB_CACHE[key] = _mmap()
+    return _BLOB_CACHE[key]
+
+
 def load_feats_segments(ref: dict):
     """Worker-side: (sorted_ids, flat int64, offsets) pack of an
-    (id, array<long>) parquet blob, cached per worker process.
-    NULL shingle rows pack as empty sets."""
-    key = ("seg", ref["tag"])
-    if key not in _BLOB_CACHE:
+    (id, array<long>) parquet blob — packed once per executor,
+    mmap'd by every worker. NULL shingle rows pack as empty sets."""
+
+    def build():
         ids, values, lens, _ = _read_id_payload(ref)
         values = values.astype(np.int64, copy=False)
         offsets = np.zeros(len(ids) + 1, dtype=np.int64)
@@ -227,25 +286,25 @@ def load_feats_segments(ref: dict):
         offs_s = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(lens_s, out=offs_s[1:])
         flat_s = values[np.repeat(offsets[:-1][order], lens_s) + _ramp(lens_s)]
-        _BLOB_CACHE[key] = (ids[order], flat_s, offs_s)
-    return _BLOB_CACHE[key]
+        return (ids[order], flat_s, offs_s)
+
+    return _pack_once_per_executor(ref, "seg", build)
 
 
 def load_feats_matrix(ref: dict):
     """Worker-side: (sorted_ids, float64 matrix, norms) pack of an
-    (id, array<float>) parquet blob, cached per worker process.
-    NULL embedding rows are dropped (NULL-cosine never pairs);
-    raises on ragged rows (embedding dims must agree)."""
-    key = ("mat", ref["tag"])
-    if key not in _BLOB_CACHE:
+    (id, array<float>) parquet blob — packed once per executor,
+    mmap'd by every worker. NULL embedding rows are dropped
+    (NULL-cosine never pairs); raises on ragged rows."""
+
+    def build():
         ids, values, lens, null_rows = _read_id_payload(ref)
         if null_rows is not None:
             keep = ~null_rows
             ids, lens = ids[keep], lens[keep]
             # values from flatten() already exclude null slots
         if len(ids) == 0:
-            _BLOB_CACHE[key] = (ids, np.zeros((0, 0)), np.zeros(0))
-            return _BLOB_CACHE[key]
+            return (ids, np.zeros((0, 0)), np.zeros(0))
         dim = int(lens[0])
         if not (lens == dim).all():
             bad = int(np.argmax(lens != dim))
@@ -256,8 +315,9 @@ def load_feats_matrix(ref: dict):
         mat = values.astype(np.float64, copy=False).reshape(-1, dim)
         order = np.argsort(ids, kind="stable")
         mat = mat[order]
-        _BLOB_CACHE[key] = (ids[order], mat, np.linalg.norm(mat, axis=1))
-    return _BLOB_CACHE[key]
+        return (ids[order], mat, np.linalg.norm(mat, axis=1))
+
+    return _pack_once_per_executor(ref, "mat", build)
 
 
 def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:
@@ -405,6 +465,19 @@ def _verify_jaccard_broadcast(
             b = pdf[right].to_numpy(dtype=np.int64)
             pos_a = _lookup_positions(ids, a, left)
             pos_b = _lookup_positions(ids, b, right)
+            if thr is not None:
+                # exact-safe size prune: J >= t  =>  min >= t * max
+                # (|A∩B| <= min, |A∪B| >= max); kills e.g. the
+                # boilerplate-vs-full-file band collisions before any
+                # gather work
+                la0 = offs[pos_a + 1] - offs[pos_a]
+                lb0 = offs[pos_b + 1] - offs[pos_b]
+                keep = np.minimum(la0, lb0) >= thr * np.maximum(la0, lb0)
+                if not keep.all():
+                    a, b = a[keep], b[keep]
+                    pos_a, pos_b = pos_a[keep], pos_b[keep]
+                if len(a) == 0:
+                    continue
             inter, la, lb = _pair_intersections(flat, offs, pos_a, pos_b)
             union = la + lb - inter
             s = np.divide(
