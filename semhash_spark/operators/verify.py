@@ -81,10 +81,16 @@ _TEMP_BLOBS: list[str] = []
 
 
 def _cleanup_temp_blobs() -> None:
+    import os
     import shutil
+    import tempfile
 
     for p in _TEMP_BLOBS:
         shutil.rmtree(p, ignore_errors=True)
+        packed = os.path.join(
+            tempfile.gettempdir(), "semhash_packed", os.path.basename(p)
+        )
+        shutil.rmtree(packed, ignore_errors=True)
 
 
 import atexit  # noqa: E402
@@ -231,7 +237,16 @@ def _pack_once_per_executor(ref: dict, kind: str, builder):
     key = (kind, ref["tag"])
     if key in _BLOB_CACHE:
         return _BLOB_CACHE[key]
-    root = os.path.dirname(_blob_files(ref)[0])
+    # scratch dir OUTSIDE the SparkFiles-managed tree: executors
+    # re-validate fetched dirs against their source on later
+    # addFile calls, and foreign files inside them fail that check
+    # ("exists and does not match contents")
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), "semhash_packed", ref["tag"]
+    )
+    os.makedirs(root, exist_ok=True)
     base = os.path.join(root, f"_packed_{kind}")
     done = base + ".done"
     lock = base + ".lock"

@@ -18,6 +18,35 @@ from semhash_spark.operators.verify import (
 )
 
 
+def test_pack_once_per_executor_reuse(spark):
+    """The executor-side pack must be written once and re-mmapped by
+    later workers (a fresh process cache must NOT rebuild it)."""
+    import os
+
+    import semhash_spark.operators.verify as V
+
+    feats = spark.createDataFrame(
+        [(i, list(range(i % 5 + 1))) for i in range(50)],
+        "record_id long, shingles array<long>",
+    )
+    import tempfile
+
+    ref = V.materialize_feats(feats, "record_id", "shingles", "packtest")
+    ids1, flat1, offs1 = V.load_feats_segments(ref)
+    root = os.path.join(tempfile.gettempdir(), "semhash_packed", ref["tag"])
+    packed = sorted(f for f in os.listdir(root) if f.startswith("_packed_seg")
+                    and f.endswith(".npy"))
+    assert len(packed) == 3
+    assert os.path.exists(os.path.join(root, "_packed_seg.done"))
+    mtimes = [os.path.getmtime(os.path.join(root, f)) for f in packed]
+    V._BLOB_CACHE.pop(("seg", ref["tag"]), None)  # fresh worker simulation
+    ids2, flat2, offs2 = V.load_feats_segments(ref)
+    assert np.array_equal(np.asarray(ids1), np.asarray(ids2))
+    assert np.array_equal(np.asarray(flat1), np.asarray(flat2))
+    assert np.array_equal(np.asarray(offs1), np.asarray(offs2))
+    assert mtimes == [os.path.getmtime(os.path.join(root, f)) for f in packed]
+
+
 def _feats(spark, n=60, seed=3):
     rng = np.random.default_rng(seed)
     shared = rng.integers(-2**62, 2**62, 40).tolist()
