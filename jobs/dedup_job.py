@@ -40,6 +40,8 @@ def main() -> None:
                    help="columns uniquely identifying a row (e.g. repo path "
                         "commit); derives collision-checked xxhash64 ids "
                         "without any sort/shuffle")
+    p.add_argument("--id-salt", default=None,
+                   help="re-seed the natural-key id hash (collision recovery)")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--mode", default="minhash",
                    choices=["minhash", "simhash", "cosine", "jaccard_exact"])
@@ -72,7 +74,7 @@ def main() -> None:
         if args.id_col:
             df = with_record_id(df, existing=args.id_col)
         elif args.natural_key:
-            df = with_record_id(df, natural_key=args.natural_key)
+            df = with_record_id(df, natural_key=args.natural_key, salt=args.id_salt)
         else:
             df = with_record_id(df, order_cols=list(args.columns))
 

@@ -2,8 +2,11 @@
 
 No counterpart in the reference library (it only dedups); these are
 the standard corpus-hygiene operators a 100 TB pretraining pipeline
-runs next to dedup. All JVM-side expressions (no UDFs) so they scan
-at parquet speed and are exactly reproducible in the DuckDB oracle.
+runs next to dedup. All JVM-side expressions (no python UDFs), so
+they are exactly reproducible in the DuckDB oracle. Note the
+split/filter/transform lambdas here are INTERPRETED higher-order
+functions, not codegen (functions/vectors.py:10-14) — fine at these
+row widths, but per-element hot paths belong in the Arrow kernels.
 """
 
 from __future__ import annotations

@@ -19,13 +19,14 @@ Semantics reproduced:
 Top-k plan (``topk_scores``), chosen by index size:
 
 * ``broadcast`` (default when the index fits executor memory): the
-  index (id, embedding) matrix is collected once, broadcast to the
-  executors, and each query partition computes exact cosine top-k
-  with one BLAS matmul + argpartition inside ``mapInPandas`` — no
-  pair shuffle, no window, output is |Q| x k rows only. This is the
-  plan a 1000-executor cluster wants whenever the index matrix is
-  bounded (100k x 64 floats = 50 MB broadcast vs a |Q| x |X| pair
-  shuffle).
+  index (id, embedding) table is materialized executor-side
+  (distributed parquet write + pack-once-per-executor mmap,
+  operators/verify.materialize_feats) and each query partition
+  computes exact cosine top-k with one BLAS matmul + 2-D
+  argpartition inside ``mapInPandas`` — no pair shuffle, no window,
+  output is |Q| x k rows only. This is the plan a 1000-executor
+  cluster wants whenever the index matrix is bounded (100k x 64
+  floats = 50 MB per executor vs a |Q| x |X| pair shuffle).
 * ``crossjoin``: pair scores + per-query window — the fallback when
   neither side fits, and the shape IVF pruning (operators/knn.py)
   starts from.

@@ -98,54 +98,18 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_temp_blobs)
 
 
-def ship_blob(spark, name_prefix: str, **arrays) -> dict[str, str]:
-    """Distribute numpy arrays to all executors as .npy files via
-    SparkFiles; returns {array_name: file_basename}.
-
-    Rationale: ``sc.broadcast`` of a ~100 MB incompressible numpy
-    blob re-streams + unpickles it PER TASK (~10 s/task measured at
-    local[32]); an added file is fetched once per executor and
-    ``np.load(mmap_mode='r')`` maps it zero-copy with the OS page
-    cache shared across that executor's python workers. (.npy per
-    array: numpy cannot mmap members of an .npz archive.)
-    """
-    import os
-    import tempfile
-    import uuid
-
-    tag = uuid.uuid4().hex[:12]
-    names = {}
-    for key, arr in arrays.items():
-        name = f"{name_prefix}_{key}_{tag}.npy"
-        path = os.path.join(tempfile.gettempdir(), name)
-        np.save(path, np.ascontiguousarray(arr))
-        spark.sparkContext.addFile(path)
-        names[key] = name
-    return names
-
-
-def load_blob(names: dict[str, str]) -> dict[str, np.ndarray]:
-    """Worker-side: mmap .npy files shipped with ship_blob (cached
-    per worker process)."""
-    out = {}
-    for key, name in names.items():
-        if name not in _BLOB_CACHE:
-            from pyspark import SparkFiles
-
-            _BLOB_CACHE[name] = np.load(SparkFiles.get(name), mmap_mode="r")
-        out[key] = _BLOB_CACHE[name]
-    return out
-
-
 # ------------------------------------------- executor-side feature blob
 #
 # The round-1 broadcast paths packed the feature table on the DRIVER
-# (toPandas -> numpy -> ship_blob): gigabytes through one process and
-# a serial stage (Amdahl) right before an otherwise-parallel kernel.
-# materialize_feats instead WRITES THE TABLE AS PARQUET (distributed
-# write, no driver hop) and ships the directory via SparkFiles; each
-# python worker packs the table into numpy ONCE (pyarrow read is
-# zero-copy columnar, the pack is vectorized gathers) and caches it.
+# (toPandas -> numpy -> addFile'd .npy): gigabytes through one
+# process and a serial stage (Amdahl) right before an otherwise-
+# parallel kernel. (sc.broadcast is even worse: a ~100 MB
+# incompressible numpy pickle re-streams PER TASK, ~10 s/task
+# measured at local[32].) materialize_feats instead WRITES THE TABLE
+# AS PARQUET (distributed write, no driver hop) and ships the
+# directory via SparkFiles; the first python worker per executor
+# packs the table into mmap'd numpy (pack-once, see
+# _pack_once_per_executor) and every other worker shares the pack.
 # On a multi-node cluster pass ``blob_dir`` on shared storage (NFS /
 # fuse-mounted object store) and the addFile hop is skipped entirely.
 
@@ -226,8 +190,8 @@ def _pack_once_per_executor(ref: dict, kind: str, builder):
     concurrent workers would decode+pack the parquet independently
     (measured 6x slowdown of the verify stage at local[32]); with it
     the pack cost is paid once per executor and the OS page cache is
-    shared, matching round 1's ship_blob behavior minus its serial
-    driver pack.
+    shared, matching round 1's driver-shipped .npy behavior minus
+    its serial driver pack.
 
     ``builder`` returns an ordered dict of numpy arrays to persist.
     """
@@ -468,7 +432,20 @@ def _verify_jaccard_broadcast(
     left: str,
     right: str,
 ) -> DataFrame:
-    ref = materialize_feats(feats, id_col, feat_col, "verify")
+    # blob only the features PAIRS ACTUALLY REFERENCE: candidate ids
+    # are typically a small fraction of the corpus (bucketed LSH
+    # pairs concentrate on collision-prone rows), and pack time is
+    # the verify stage's serial component — a semi-join prune on the
+    # id projection shrinks it proportionally
+    pair_ids = (
+        pairs.select(F.col(left).alias("_pid"))
+        .union(pairs.select(F.col(right).alias("_pid")))
+        .distinct()
+    )
+    # no broadcast hint: AQE broadcasts the id set when it is small
+    # and falls back to an ids-only shuffle when it is not
+    needed = feats.join(pair_ids, feats[id_col] == F.col("_pid"), "left_semi")
+    ref = materialize_feats(needed, id_col, feat_col, "verify")
     thr = threshold
 
     def score(batches):
