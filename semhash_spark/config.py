@@ -88,3 +88,12 @@ class DedupConfig:
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)
+
+    def with_tuned_bands(self, fp_weight: float = 0.5, fn_weight: float = 0.5
+                         ) -> "DedupConfig":
+        """Re-derive ``bands`` from the S-curve optimum for this
+        threshold/num_perm (operators/lsh.optimal_bands)."""
+        from semhash_spark.operators.lsh import optimal_bands
+
+        b, _ = optimal_bands(self.threshold, self.num_perm, fp_weight, fn_weight)
+        return replace(self, bands=b)
