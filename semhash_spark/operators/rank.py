@@ -417,7 +417,136 @@ def cover_select(
     return selected, scores
 
 
-_DIVERSIFY = {"mmr": mmr_select, "msd": msd_select, "cover": cover_select}
+def dpp_select(
+    embeddings: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity: float,
+) -> tuple[list[int], list[float]]:
+    """Greedy MAP determinantal-point-process selection.
+
+    Incremental-Cholesky greedy of Chen, Zhang & Zhou, "Fast Greedy
+    MAP Inference for Determinantal Point Process" (NeurIPS 2018) on
+    the cosine correlation kernel. ``d2[c]`` is the conditional
+    variance of candidate ``c`` given the selected set — the log-det
+    marginal gain — updated in O(n) per pick. Blended objective
+    keeps this repo's strategy convention (first pick = highest
+    relevance; diversity 0 = pure relevance order):
+
+        score(c) = (1 - diversity) * relevance[c] + diversity * d2[c]
+
+    Covers the reference's pyversity ``Strategy.DPP``
+    (semhash/semhash.py:11,348).
+    """
+    n = len(relevance)
+    k = min(k, n)
+    if k == 0:
+        return [], []
+    norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+    normed = np.divide(embeddings, norms, where=norms > 0)
+    sims = normed @ normed.T
+
+    selected: list[int] = []
+    scores: list[float] = []
+    d2 = np.ones(n)  # conditional variance given selected (unit diag kernel)
+    cho = np.zeros((k, n))  # rows of the incremental Cholesky factor
+    alive = np.ones(n, dtype=bool)
+    first = int(np.argmax(relevance))
+    selected.append(first)
+    scores.append(float(relevance[first]))
+    while len(selected) < k:
+        j = len(selected) - 1
+        s = selected[-1]
+        alive[s] = False
+        denom = np.sqrt(max(d2[s], 1e-12))
+        e = (sims[s] - cho[:j, s] @ cho[:j]) / denom
+        cho[j] = e
+        d2 = np.maximum(d2 - e * e, 0.0)
+        obj = (1.0 - diversity) * relevance + diversity * d2
+        obj[~alive] = -np.inf
+        best = int(np.argmax(obj))
+        selected.append(best)
+        scores.append(float(obj[best]))
+    return selected, scores
+
+
+def ssd_select(
+    embeddings: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity: float,
+    window: int | None = None,
+) -> tuple[list[int], list[float]]:
+    """Sliding-Spectrum-Decomposition selection.
+
+    Huang et al., "Sliding Spectrum Decomposition for Diversified
+    Recommendation" (KDD 2021): the diversity term of a candidate is
+    the volume it adds to the parallelepiped spanned by the items in
+    a sliding window over the selected sequence — i.e. the residual
+    norm after Gram-Schmidt projection onto the window's
+    orthogonalized basis. ``window=None`` keeps the whole selection
+    in the window (no slide; at the <=1000-candidate pool size the
+    slide only matters for very large k). Convention as siblings:
+    first pick = highest relevance; diversity 0 = relevance order.
+
+        score(c) = (1 - diversity) * relevance[c] + diversity * ||r_c||
+
+    Covers the reference's pyversity ``Strategy.SSD``
+    (semhash/semhash.py:11,348).
+    """
+    n = len(relevance)
+    k = min(k, n)
+    if k == 0:
+        return [], []
+    norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+    normed = np.divide(embeddings, norms, where=norms > 0)
+    win = k if window is None else max(1, window)
+
+    selected: list[int] = []
+    scores: list[float] = []
+    basis: list[np.ndarray] = []  # orthonormal basis of the window span
+    alive = np.ones(n, dtype=bool)
+    first = int(np.argmax(relevance))
+    selected.append(first)
+    scores.append(float(relevance[first]))
+    while len(selected) < k:
+        s = selected[-1]
+        alive[s] = False
+        v = normed[s].copy()
+        for b in basis:
+            v -= (v @ b) * b
+        vn = np.linalg.norm(v)
+        if vn > 1e-9:
+            basis.append(v / vn)
+        if len(basis) > win:  # slide: re-orthogonalize the kept tail
+            tail = [normed[i] for i in selected[-win:]]
+            basis = []
+            for t in tail:
+                t = t.copy()
+                for b in basis:
+                    t -= (t @ b) * b
+                tn = np.linalg.norm(t)
+                if tn > 1e-9:
+                    basis.append(t / tn)
+        resid = normed.copy()
+        for b in basis:
+            resid -= np.outer(resid @ b, b)
+        rnorm = np.linalg.norm(resid, axis=1)
+        obj = (1.0 - diversity) * relevance + diversity * rnorm
+        obj[~alive] = -np.inf
+        best = int(np.argmax(obj))
+        selected.append(best)
+        scores.append(float(obj[best]))
+    return selected, scores
+
+
+_DIVERSIFY = {
+    "mmr": mmr_select,
+    "msd": msd_select,
+    "cover": cover_select,
+    "dpp": dpp_select,
+    "ssd": ssd_select,
+}
 
 
 def diversify(

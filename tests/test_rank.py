@@ -15,9 +15,11 @@ import semhash_spark.operators.rank as rank_ops
 from semhash_spark.operators.rank import (
     cover_select,
     diversify,
+    dpp_select,
     filter_outliers,
     mmr_select,
     msd_select,
+    ssd_select,
     topk_scores,
 )
 
@@ -78,7 +80,9 @@ def test_topk_broadcast_null_and_determinism(spark):
     assert not any(q == 30 for q, _ in out)  # null query ranks nothing
 
 
-@pytest.mark.parametrize("select_fn", [mmr_select, msd_select, cover_select])
+@pytest.mark.parametrize(
+    "select_fn", [mmr_select, msd_select, cover_select, dpp_select, ssd_select]
+)
 def test_diversity_zero_is_relevance_order(select_fn):
     emb = np.eye(6)
     rel = np.array([0.1, 0.9, 0.3, 0.8, 0.2, 0.5])
@@ -86,7 +90,9 @@ def test_diversity_zero_is_relevance_order(select_fn):
     assert sel == [1, 3, 5, 2]
 
 
-@pytest.mark.parametrize("select_fn", [msd_select, cover_select])
+@pytest.mark.parametrize(
+    "select_fn", [msd_select, cover_select, dpp_select, ssd_select]
+)
 def test_diversity_one_spreads_across_clusters(select_fn):
     # two tight clusters; relevance favors cluster A — full diversity
     # must still pick from cluster B by the second selection
@@ -101,5 +107,37 @@ def test_diversify_dispatch_and_unknown():
     emb = np.eye(3)
     rel = np.array([0.3, 0.2, 0.1])
     assert diversify(emb, rel, 2, 0.5, "msd")[0][0] == 0
+    assert diversify(emb, rel, 2, 0.5, "dpp")[0][0] == 0
+    assert diversify(emb, rel, 2, 0.5, "ssd")[0][0] == 0
     with pytest.raises(ValueError, match="unknown diversify strategy"):
-        diversify(emb, rel, 2, 0.5, "dpp")
+        diversify(emb, rel, 2, 0.5, "tournament")
+
+
+def test_dpp_conditional_variance_kills_duplicates():
+    # an exact duplicate of a selected item has conditional variance 0:
+    # at full diversity DPP must never pick it while any independent
+    # direction remains
+    a = np.array([1.0, 0.0, 0.0])
+    emb = np.vstack([a, a, np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0])])
+    rel = np.array([1.0, 0.99, 0.1, 0.05])
+    sel, _ = dpp_select(emb, rel, 3, diversity=1.0)
+    assert sel[0] == 0 and 1 not in sel
+
+
+def test_ssd_residual_norm_prefers_orthogonal():
+    a = np.array([1.0, 0.0, 0.0])
+    emb = np.vstack([a, a * 0.999 + np.array([0.0, 0.001, 0.0]), np.eye(3)[1], np.eye(3)[2]])
+    rel = np.array([1.0, 0.99, 0.2, 0.1])
+    sel, _ = ssd_select(emb, rel, 3, diversity=1.0)
+    assert sel[0] == 0 and set(sel[1:]) == {2, 3}
+
+
+def test_ssd_sliding_window_forgets_old_picks():
+    # window=1: only the immediately preceding pick constrains the
+    # residual, so a duplicate of pick #1 becomes selectable again at
+    # pick #3 once the window slid past it
+    e = np.eye(3)
+    emb = np.vstack([e[0], e[1], e[0] + 1e-6 * e[2]])
+    rel = np.array([1.0, 0.9, 0.8])
+    sel, _ = ssd_select(emb, rel, 3, diversity=1.0, window=1)
+    assert sel == [0, 1, 2]
