@@ -492,6 +492,24 @@ def q_representatives(spark, sf_dir):
     )
 
 
+def q_representatives_dpp(spark, sf_dir):
+    # R5/R6: greedy-MAP DPP representative selection (pyversity
+    # Strategy.DPP analogue; driver-side numpy -> deterministic but
+    # not SQL-expressible -> pinned golden oracle)
+    from semhash_spark.operators.rank import find_representative
+
+    emb = _emb(spark, sf_dir)
+    r = rank_by_avg_similarity(emb, emb, 100, exclude_self=True,
+                               id_col="record_id", emb_col="embedding")
+    sel_ids, _, _ = find_representative(
+        r, emb, selection_size=10, diversity=0.5,
+        id_col="record_id", emb_col="embedding", strategy="dpp",
+    )
+    return spark.createDataFrame(
+        [(int(v), i + 1) for i, v in enumerate(sel_ids)], "vec_id long, pos long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_selected": q_exact_dedup_selected,
@@ -524,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "hyperplane_cosine_pairs": q_hyperplane_cosine_pairs,
         "representatives": q_representatives,
+        "representatives_dpp": q_representatives_dpp,
     }
 
 
@@ -835,6 +854,15 @@ _REP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VAL
     f"({v}, {p})" for v, p in _REP_GOLDEN
 ) + ") t(vec_id, pos)"
 
+_REP_DPP_GOLDEN = [
+    (254, 1), (436, 2), (53, 3), (126, 4), (421, 5),
+    (20, 6), (12, 7), (195, 8), (445, 9), (198, 10),
+]
+
+_REP_DPP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VALUES " + ", ".join(
+    f"({v}, {p})" for v, p in _REP_DPP_GOLDEN
+) + ") t(vec_id, pos)"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -977,4 +1005,5 @@ def oracle_sql() -> dict[str, str]:
         "hyperplane_cosine_pairs": _hyperplane_sql(),
         "containment_lcs": _LCS_GOLDEN_SQL,
         "representatives": _REP_GOLDEN_SQL,
+        "representatives_dpp": _REP_DPP_GOLDEN_SQL,
     }

@@ -36,6 +36,14 @@ def main() -> None:
     for v, p in reps:
         print(f"    ({v}, {p}),")
     print("]")
+    reps_dpp = sorted(
+        ((r.vec_id, r.pos) for r in entrymod.q_representatives_dpp(spark, sf).collect()),
+        key=lambda t: t[1],
+    )
+    print("_REP_DPP_GOLDEN = [")
+    for v, p in reps_dpp:
+        print(f"    ({v}, {p}),")
+    print("]")
     spark.stop()
 
 
