@@ -111,3 +111,48 @@ def test_with_tuned_bands_roundtrip():
     cfg = DedupConfig(columns=("text",), threshold=0.8, num_perm=128).with_tuned_bands()
     assert cfg.num_perm % cfg.bands == 0
     assert 1 <= cfg.bands <= 128
+
+
+def test_dpp_conditional_variance_matches_determinant_ratio():
+    # the incremental-Cholesky d2 in dpp_select is the Schur
+    # complement: picking item c after set S must satisfy
+    # d2[c] = det(K[S+c, S+c]) / det(K[S, S]) for the cosine kernel.
+    # Validate the increments against explicit determinants on
+    # random inputs (full-diversity run so picks are d2-driven).
+    from semhash_spark.operators.rank import dpp_select
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        emb = rng.normal(size=(12, 6))
+        rel = rng.uniform(size=12)
+        sel, scores = dpp_select(emb, rel, 6, diversity=1.0)
+        normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        K = normed @ normed.T
+        # scores[i] (i >= 1) is the selected item's blended objective =
+        # d2 at diversity 1; check against the det ratio
+        for i in range(1, len(sel)):
+            S = sel[:i]
+            c = sel[i]
+            det_S = np.linalg.det(K[np.ix_(S, S)])
+            det_Sc = np.linalg.det(K[np.ix_(S + [c], S + [c])])
+            expected = det_Sc / det_S
+            assert abs(scores[i] - expected) < 1e-8, (trial, i, scores[i], expected)
+
+
+def test_ssd_residual_matches_gram_schmidt_projection():
+    # ssd_select's diversity term must equal the norm of the candidate
+    # after projecting out the span of the selected window
+    from semhash_spark.operators.rank import ssd_select
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(10, 5))
+    rel = rng.uniform(size=10)
+    sel, scores = ssd_select(emb, rel, 5, diversity=1.0)
+    normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for i in range(1, len(sel)):
+        span = normed[sel[:i]]
+        v = normed[sel[i]]
+        # least-squares residual of v onto span's row space
+        coef, *_ = np.linalg.lstsq(span.T, v, rcond=None)
+        resid = v - span.T @ coef
+        assert abs(scores[i] - np.linalg.norm(resid)) < 1e-8, (i, scores[i])
