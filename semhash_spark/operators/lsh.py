@@ -81,6 +81,7 @@ def band_table(
     bands: int,
     id_col: str = "record_id",
     rows_per_band: int | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(record_id, band_idx, band_hash) — one row per band per record.
 
@@ -89,7 +90,9 @@ def band_table(
     SimHash/hyperplane bands pass the band array column directly via
     ``explode_band_array``. Pass ``rows_per_band`` (num_perm//bands)
     for the element_at fast path; without it a generic slice form is
-    used.
+    used. ``keep`` carries extra columns through the explode (the
+    stateful streaming matcher keeps the signature itself; the batch
+    path keeps nothing — ids and hashes only in the shuffle).
     """
     # "let g = sig in ..." binding: the signature expression is
     # evaluated once per row even if Catalyst inlines it here.
@@ -106,7 +109,11 @@ def band_table(
           transform(sequence(0, {bands - 1}), b -> {body})), 1)
         """
     )
-    return df.select(F.col(id_col), F.posexplode(sliced).alias("band_idx", "band_hash"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.posexplode(sliced).alias("band_idx", "band_hash"),
+    )
 
 
 def explode_band_array(

@@ -122,3 +122,67 @@ def test_windowed_dup_counts(spark):
         assert [r.n for r in out] == [3]  # only the alpha group repeats
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_neardup_stream_matches_across_batches(spark):
+    """applyInPandasWithState near-dup matcher: per-LSH-bucket
+    signature state must survive micro-batch boundaries — a near-copy
+    arriving in batch 2 matches its batch-1 original; fresh rows and
+    the originals survive."""
+    import os
+
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.streaming.dedup_stream import (
+        reduce_neardup_verdicts,
+        stateful_neardup_stream,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six")
+    near = base.replace("four", "FOUR")
+    other = "second original doc full of its own distinct words right here"
+    fresh = "totally different content with its own tokens here now ok"
+
+    cfg = DedupConfig(columns=("text",), threshold=0.5, shingle_k=3,
+                      num_perm=64, bands=16)
+
+    tmp = tempfile.mkdtemp(prefix="semhash_statestream_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+
+        # two flat files + maxFilesPerTrigger=1 => two micro-batches,
+        # ordered by modification time (file source picks oldest first)
+        import glob
+        import time as _time
+
+        def _land(rows, name, mtime):
+            d = os.path.join(tmp, "stage_" + name)
+            spark.createDataFrame(rows, "record_id long, text string") \
+                .coalesce(1).write.parquet(d)
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dest = os.path.join(src, name)
+            shutil.copy(part, dest)
+            os.utime(dest, (mtime, mtime))
+
+        now = _time.time()
+        _land([(1, base), (2, other)], "000.parquet", now - 60)
+        _land([(10, near), (11, fresh)], "001.parquet", now)
+
+        stream = (spark.readStream.schema("record_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        verdicts = stateful_neardup_stream(stream, cfg)
+        qname = "statestream_verdicts"
+        q = (verdicts.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        red = {r.record_id: r for r in
+               reduce_neardup_verdicts(spark.table(qname)).collect()}
+        assert set(red) == {1, 2, 10, 11}
+        assert not red[1].is_dup and not red[2].is_dup and not red[11].is_dup
+        assert red[10].is_dup and red[10].matched_id == 1
+        assert red[10].est_score >= 0.5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
