@@ -250,30 +250,153 @@ def _pack_once_per_executor(ref: dict, kind: str, builder):
     return _BLOB_CACHE[key]
 
 
+def _read_part_id_payload(path: str, id_col: str, payload_col: str):
+    """(ids, flat values, lens) of ONE parquet part file."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table([path], columns=[id_col, payload_col])
+    ids = tbl.column(id_col).to_numpy().astype(np.int64, copy=False)
+    payload = tbl.column(payload_col).combine_chunks()
+    values = payload.flatten().to_numpy(zero_copy_only=False)
+    lens = payload.value_lengths().to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+    return ids, values, lens
+
+
+def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
+    """Shard-PARALLEL executor pack: every python worker that needs
+    the blob claims unpacked parquet parts (one lock file per part),
+    decodes and saves its shards CONCURRENTLY with the other
+    workers, then one worker finalizes the small global index
+    arrays. Decode is the pack's dominant cost (measured 8-20 s for
+    a 535 MB shingle blob — disk + Arrow assembly) and it is O(blob)
+    while everything downstream is O(pairs): packing it serially on
+    one worker per executor was the largest fixed cost in the
+    N->4N scaling profile. With W workers the wall cost drops to
+    ~decode/W + finalize (finalize touches only the id arrays).
+
+    ``part_builder(path) -> [arrays]`` packs one parquet part;
+    ``finalize_builder(shard_arrays) -> [arrays]`` builds the global
+    index from the per-shard packs. Returns (final_arrays,
+    shard_arrays) — all mmap'd, shared across the executor's
+    workers via the OS page cache."""
+    import os
+    import time as _time
+
+    key = (kind, ref["tag"])
+    if key in _BLOB_CACHE:
+        return _BLOB_CACHE[key]
+    import tempfile
+
+    parts = _blob_files(ref)
+    root = os.path.join(tempfile.gettempdir(), "semhash_packed", ref["tag"])
+    os.makedirs(root, exist_ok=True)
+
+    def _save(base: str, arrays) -> None:
+        for i, arr in enumerate(arrays):
+            path = f"{base}__{i:02d}.npy"
+            np.save(path + ".tmp.npy", np.ascontiguousarray(arr))
+            os.rename(path + ".tmp.npy", path)
+        with open(base + ".done.tmp", "w") as fh:
+            fh.write("ok")
+        os.rename(base + ".done.tmp", base + ".done")
+
+    def _mmap_group(base: str):
+        d, prefix = os.path.split(base)
+        names = sorted(
+            f for f in os.listdir(d)
+            if f.startswith(prefix + "__") and f.endswith(".npy")
+        )
+        return tuple(np.load(os.path.join(d, f), mmap_mode="r") for f in names)
+
+    def _claim_build(base: str, builder, *args) -> bool:
+        """Try to win ``base``; returns True if this worker built it."""
+        if os.path.exists(base + ".done"):
+            return False
+        try:
+            fd = os.open(base + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        try:
+            _save(base, builder(*args))
+        except BaseException:
+            os.unlink(base + ".lock")  # let another worker retry
+            raise
+        return True
+
+    def _await(base: str, what: str) -> None:
+        deadline = _time.time() + 600
+        while not os.path.exists(base + ".done"):
+            if _time.time() > deadline:
+                raise TimeoutError(f"{what} pack of {base} never completed")
+            _time.sleep(0.05)
+
+    shard_base = [os.path.join(root, f"_shard_{kind}_{k:04d}") for k in range(len(parts))]
+    for k, part in enumerate(parts):
+        _claim_build(shard_base[k], part_builder, part)
+    for k in range(len(parts)):
+        _await(shard_base[k], "shard")
+
+    final_base = os.path.join(root, f"_final_{kind}")
+    if not os.path.exists(final_base + ".done"):
+        _claim_build(
+            final_base,
+            lambda: finalize_builder([_mmap_group(b) for b in shard_base]),
+        )
+        _await(final_base, "finalize")
+    result = (_mmap_group(final_base), [_mmap_group(b) for b in shard_base])
+    _BLOB_CACHE[key] = result
+    return result
+
+
 def load_feats_segments(ref: dict):
-    """Worker-side: (sorted_ids, flat int64, offsets) pack of an
-    (id, array<long>) parquet blob — packed once per executor,
-    mmap'd by every worker. NULL shingle rows pack as empty sets."""
+    """Worker-side pack of an (id, array<long>) parquet blob —
+    shard-parallel across the executor's python workers
+    (``_pack_sharded``), mmap'd by every worker. NULL shingle rows
+    pack as empty sets.
 
-    def build():
-        ids, values, lens, _ = _read_id_payload(ref)
-        values = values.astype(np.int64, copy=False)
-        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        order = np.argsort(ids, kind="stable")
-        lens_s = lens[order]
-        offs_s = np.zeros(len(ids) + 1, dtype=np.int64)
-        np.cumsum(lens_s, out=offs_s[1:])
-        flat_s = values[np.repeat(offsets[:-1][order], lens_s) + _ramp(lens_s)]
-        return (ids[order], flat_s, offs_s)
+    Returns ``(ids_sorted, perm, row_shard, row_off, row_len,
+    flats)``: flat values stay in PARQUET PART ORDER (one mmap'd
+    array per part — re-gathering into id order was 9 s of the
+    original 13.8 s single-worker pack); a record's row index is
+    ``row = perm[searchsorted(ids_sorted, id)]`` and its values live
+    at ``flats[row_shard[row]][row_off[row] : row_off[row] +
+    row_len[row]]``."""
 
-    return _pack_once_per_executor(ref, "seg", build)
+    id_col, payload_col = ref["id_col"], ref["payload_col"]
+
+    def part_builder(path):
+        ids, values, lens = _read_part_id_payload(path, id_col, payload_col)
+        return [ids, lens, values.astype(np.int64, copy=False)]
+
+    def finalize_builder(shards):
+        ids_all = np.concatenate([s[0] for s in shards]) if shards else np.empty(0, np.int64)
+        lens_all = np.concatenate([s[1] for s in shards]) if shards else np.empty(0, np.int64)
+        row_shard = np.concatenate(
+            [np.full(len(s[0]), k, dtype=np.int64) for k, s in enumerate(shards)]
+        ) if shards else np.empty(0, np.int64)
+        row_off = np.concatenate(
+            [np.concatenate([[0], np.cumsum(s[1][:-1])]) if len(s[1]) else np.empty(0, np.int64)
+             for s in shards]
+        ).astype(np.int64) if shards else np.empty(0, np.int64)
+        order = np.argsort(ids_all, kind="stable")
+        return [ids_all[order], order.astype(np.int64), row_shard, row_off, lens_all]
+
+    (ids_sorted, perm, row_shard, row_off, row_len), shard_groups = _pack_sharded(
+        ref, "seg", part_builder, finalize_builder
+    )
+    flats = [g[2] for g in shard_groups]
+    return ids_sorted, perm, row_shard, row_off, row_len, flats
 
 
 def load_feats_matrix(ref: dict):
-    """Worker-side: (sorted_ids, float64 matrix, norms) pack of an
+    """Worker-side: (ids, float64 matrix, norms) pack of an
     (id, array<float>) parquet blob — packed once per executor,
-    mmap'd by every worker. NULL embedding rows are dropped
+    mmap'd by every worker. Rows stay in PARQUET ORDER (ids aligned
+    with matrix rows — consumers only need alignment, and the
+    id-order re-gather was the pack's dominant cost; see
+    load_feats_segments). NULL embedding rows are dropped
     (NULL-cosine never pairs); raises on ragged rows."""
 
     def build():
@@ -292,9 +415,7 @@ def load_feats_matrix(ref: dict):
                 f"expected {dim}"
             )
         mat = values.astype(np.float64, copy=False).reshape(-1, dim)
-        order = np.argsort(ids, kind="stable")
-        mat = mat[order]
-        return (ids[order], mat, np.linalg.norm(mat, axis=1))
+        return (ids, mat, np.linalg.norm(mat, axis=1))
 
     return _pack_once_per_executor(ref, "mat", build)
 
@@ -338,9 +459,30 @@ def _lookup_positions(ids_sorted: np.ndarray, wanted: np.ndarray, side: str):
 _PAIR_CELLS_BUDGET = 1 << 23
 
 
+def _gather_rows(seg, rows: np.ndarray, l: np.ndarray) -> np.ndarray:
+    """Concatenated payload values of ``rows`` (in row order) from the
+    sharded pack; ``l`` = lens of those rows. One fancy-indexed load
+    per REFERENCED shard (parquet parts are range-ish, scoring
+    batches touch few)."""
+    flats, row_shard, row_off, _ = seg
+    total = int(l.sum())
+    out = np.empty(total, dtype=np.int64)
+    if total == 0:
+        return out
+    dest0 = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(l[:-1], out=dest0[1:])
+    sh = row_shard[rows]
+    for s in np.unique(sh):
+        sel = sh == s
+        rsel, lsel = rows[sel], l[sel]
+        src = np.repeat(row_off[rsel], lsel) + _ramp(lsel)
+        dst = np.repeat(dest0[sel], lsel) + _ramp(lsel)
+        out[dst] = flats[s][src]
+    return out
+
+
 def _pair_intersections_block(
-    flat: np.ndarray,
-    offs: np.ndarray,
+    seg,
     pos_a: np.ndarray,
     pos_b: np.ndarray,
     la: np.ndarray,
@@ -353,15 +495,13 @@ def _pair_intersections_block(
     if wmax == 0:
         return np.zeros(n, dtype=np.int64)
     m = np.full((n, wmax), np.iinfo(np.int64).max, dtype=np.int64)
-    # gather indices: for each pair, a's slice then b's slice
-    idx_a = np.repeat(offs[pos_a], la) + _ramp(la)
-    idx_b = np.repeat(offs[pos_b], lb) + _ramp(lb)
+    # for each pair: a's values then b's values into one padded row
     rows_a = np.repeat(np.arange(n), la)
     cols_a = _ramp(la)
-    m[rows_a, cols_a] = flat[idx_a]
+    m[rows_a, cols_a] = _gather_rows(seg, pos_a, la)
     rows_b = np.repeat(np.arange(n), lb)
     cols_b = _ramp(lb) + np.repeat(la, lb)
-    m[rows_b, cols_b] = flat[idx_b]
+    m[rows_b, cols_b] = _gather_rows(seg, pos_b, lb)
     m.sort(axis=1)
     eq = m[:, 1:] == m[:, :-1]
     valid = np.arange(1, wmax)[None, :] < tot[:, None]
@@ -369,9 +509,10 @@ def _pair_intersections_block(
 
 
 def _pair_intersections(
-    flat: np.ndarray, offs: np.ndarray, pos_a: np.ndarray, pos_b: np.ndarray
+    seg, pos_a: np.ndarray, pos_b: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """|A ∩ B| per pair, rows indexed into the packed blob.
+    """|A ∩ B| per pair; ``seg`` = (flats, row_shard, row_off, lens)
+    from the sharded pack, positions are original global rows.
 
     Row-wise padded sort: each pair's concatenated values fill one
     row of an (n x wmax) INT64_MAX-padded matrix; ``sort(axis=1)`` is
@@ -383,15 +524,16 @@ def _pair_intersections(
     longer inflate the whole batch's padded matrix (ADVICE r1).
     Returns (inter, len_a, len_b).
     """
+    lens = seg[3]
     n = len(pos_a)
-    la = offs[pos_a + 1] - offs[pos_a]
-    lb = offs[pos_b + 1] - offs[pos_b]
+    la = np.asarray(lens[pos_a])
+    lb = np.asarray(lens[pos_b])
     tot = la + lb
     inter = np.zeros(n, dtype=np.int64)
     if n == 0 or int(tot.max()) == 0:
         return inter, la, lb
     if n * int(tot.max()) <= _PAIR_CELLS_BUDGET:
-        inter = _pair_intersections_block(flat, offs, pos_a, pos_b, la, lb)
+        inter = _pair_intersections_block(seg, pos_a, pos_b, la, lb)
         return inter, la, lb
     order = np.argsort(tot, kind="stable")
     start = 0
@@ -407,7 +549,7 @@ def _pair_intersections(
             end = min(start + rows, n)
         blk = order[start:end]
         inter[blk] = _pair_intersections_block(
-            flat, offs, pos_a[blk], pos_b[blk], la[blk], lb[blk]
+            seg, pos_a[blk], pos_b[blk], la[blk], lb[blk]
         )
         start = end
     return inter, la, lb
@@ -449,28 +591,29 @@ def _verify_jaccard_broadcast(
     thr = threshold
 
     def score(batches):
-        ids, flat, offs = load_feats_segments(ref)
+        ids, perm, row_shard, row_off, row_len, flats = load_feats_segments(ref)
+        seg = (flats, row_shard, row_off, row_len)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a = pdf[left].to_numpy(dtype=np.int64)
             b = pdf[right].to_numpy(dtype=np.int64)
-            pos_a = _lookup_positions(ids, a, left)
-            pos_b = _lookup_positions(ids, b, right)
+            pos_a = perm[_lookup_positions(ids, a, left)]
+            pos_b = perm[_lookup_positions(ids, b, right)]
             if thr is not None:
                 # exact-safe size prune: J >= t  =>  min >= t * max
                 # (|A∩B| <= min, |A∪B| >= max); kills e.g. the
                 # boilerplate-vs-full-file band collisions before any
                 # gather work
-                la0 = offs[pos_a + 1] - offs[pos_a]
-                lb0 = offs[pos_b + 1] - offs[pos_b]
+                la0 = np.asarray(row_len[pos_a])
+                lb0 = np.asarray(row_len[pos_b])
                 keep = np.minimum(la0, lb0) >= thr * np.maximum(la0, lb0)
                 if not keep.all():
                     a, b = a[keep], b[keep]
                     pos_a, pos_b = pos_a[keep], pos_b[keep]
                 if len(a) == 0:
                     continue
-            inter, la, lb = _pair_intersections(flat, offs, pos_a, pos_b)
+            inter, la, lb = _pair_intersections(seg, pos_a, pos_b)
             union = la + lb - inter
             s = np.divide(
                 inter.astype(np.float64), union, out=np.zeros(len(a)), where=union > 0

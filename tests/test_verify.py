@@ -19,8 +19,10 @@ from semhash_spark.operators.verify import (
 
 
 def test_pack_once_per_executor_reuse(spark):
-    """The executor-side pack must be written once and re-mmapped by
-    later workers (a fresh process cache must NOT rebuild it)."""
+    """The executor-side shard pack must be written once and
+    re-mmapped by later workers (a fresh process cache must NOT
+    rebuild it), and the sharded layout must reconstruct every
+    original row."""
     import os
 
     import semhash_spark.operators.verify as V
@@ -28,23 +30,34 @@ def test_pack_once_per_executor_reuse(spark):
     feats = spark.createDataFrame(
         [(i, list(range(i % 5 + 1))) for i in range(50)],
         "record_id long, shingles array<long>",
-    )
+    ).repartition(3)  # multiple parquet parts -> multiple shards
     import tempfile
 
     ref = V.materialize_feats(feats, "record_id", "shingles", "packtest")
-    ids1, flat1, offs1 = V.load_feats_segments(ref)
+    out1 = V.load_feats_segments(ref)
     root = os.path.join(tempfile.gettempdir(), "semhash_packed", ref["tag"])
-    packed = sorted(f for f in os.listdir(root) if f.startswith("_packed_seg")
-                    and f.endswith(".npy"))
-    assert len(packed) == 3
-    assert os.path.exists(os.path.join(root, "_packed_seg.done"))
+    packed = sorted(f for f in os.listdir(root) if f.endswith(".npy"))
+    shard_files = [f for f in packed if f.startswith("_shard_seg")]
+    final_files = [f for f in packed if f.startswith("_final_seg")]
+    assert len(final_files) == 5  # ids_sorted, perm, row_shard, row_off, row_len
+    assert len(shard_files) >= 3  # >=1 part x 3 arrays
+    assert os.path.exists(os.path.join(root, "_final_seg.done"))
     mtimes = [os.path.getmtime(os.path.join(root, f)) for f in packed]
     V._BLOB_CACHE.pop(("seg", ref["tag"]), None)  # fresh worker simulation
-    ids2, flat2, offs2 = V.load_feats_segments(ref)
-    assert np.array_equal(np.asarray(ids1), np.asarray(ids2))
-    assert np.array_equal(np.asarray(flat1), np.asarray(flat2))
-    assert np.array_equal(np.asarray(offs1), np.asarray(offs2))
+    out2 = V.load_feats_segments(ref)
+    for a, b in zip(out1[:5], out2[:5]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
     assert mtimes == [os.path.getmtime(os.path.join(root, f)) for f in packed]
+
+    # sorted ids + permutation + shard map reconstruct each original row
+    ids_sorted, perm, row_shard, row_off, row_len, flats = out1
+    rows = {int(r.record_id): list(r.shingles) for r in feats.collect()}
+    assert sorted(np.asarray(ids_sorted).tolist()) == sorted(rows)
+    for i, rid in enumerate(np.asarray(ids_sorted)):
+        row = int(perm[i])
+        s0 = int(row_shard[row]); o0 = int(row_off[row]); l0 = int(row_len[row])
+        got = np.asarray(flats[s0][o0:o0 + l0]).tolist()
+        assert got == rows[int(rid)], rid
 
 
 def _feats(spark, n=60, seed=3):
