@@ -140,12 +140,15 @@ def main() -> None:
     max_load = None
     if "--load-gate" in sys.argv:
         max_load = float(sys.argv[sys.argv.index("--load-gate") + 1])
+    gate_timeout = 900.0
+    if "--gate-timeout" in sys.argv:
+        gate_timeout = float(sys.argv[sys.argv.index("--gate-timeout") + 1])
     # interleave the parallelism levels so transient tenant-load
     # spikes on the shared host hit both levels equally; keep best-of
     results: dict[int, dict] = {}
     for _ in range(repeats):
         for cpus in pair:
-            wait_quiet(max_load)
+            wait_quiet(max_load, gate_timeout)
             load0 = os.getloadavg()[0]
             r = run_once(cpus, n)
             r["load_start"] = round(load0, 1)
