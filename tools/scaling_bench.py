@@ -14,7 +14,9 @@ A cluster-assignment checksum is compared across levels — identical
 output at any parallelism is the determinism invariant (SURVEY §5).
 
 Usage: python tools/scaling_bench.py [n_files] [--repeats 2]
-Writes BENCH_SCALING.md and prints one JSON line.
+Writes BENCH_SCALING_LAST.md (single-run report; the curated
+multi-window evidence lives in BENCH_SCALING.md) and prints one
+JSON line.
 """
 
 from __future__ import annotations
@@ -264,7 +266,7 @@ zero local processes) perturbs individual runs — best-of-{repeats}
 is reported.
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SCALING.md"), "w") as f:
+    with open(os.path.join(repo, "BENCH_SCALING_LAST.md"), "w") as f:
         f.write(md)
 
 
