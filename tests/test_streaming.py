@@ -186,3 +186,47 @@ def test_stateful_neardup_stream_matches_across_batches(spark):
         assert red[10].est_score >= 0.5
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_neardup_stream_state_cap_bounds_bucket(spark):
+    """state_cap is the streaming analogue of the batch bucket_cap:
+    a boilerplate bucket stores at most state_cap signatures, yet
+    overflow members still match against the stored head (connectivity
+    preserved, state bounded)."""
+    import os
+
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.streaming.dedup_stream import (
+        reduce_neardup_verdicts,
+        stateful_neardup_stream,
+    )
+
+    boiler = ("license header apache version two point zero all rights "
+              "reserved redistribution and use in source and binary forms")
+    rows = [(i, boiler) for i in range(12)]  # 12 identical docs, cap 3
+
+    cfg = DedupConfig(columns=("text",), threshold=0.5, shingle_k=3,
+                      num_perm=64, bands=16)
+    tmp = tempfile.mkdtemp(prefix="semhash_capstream_")
+    try:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(rows, "record_id long, text string") \
+            .coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("record_id long, text string").parquet(src)
+        verdicts = stateful_neardup_stream(stream, cfg, state_cap=3)
+        qname = "capstream_verdicts"
+        q = (verdicts.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        red = {r.record_id: r for r in
+               reduce_neardup_verdicts(spark.table(qname)).collect()}
+        # first record is the exemplar; every other one still matches
+        # (stored head suffices) despite the bucket cap
+        assert not red[0].is_dup
+        for i in range(1, 12):
+            assert red[i].is_dup and red[i].matched_id == 0, (i, red[i])
+        # state is bounded: per band at most state_cap stored entries,
+        # so the verdict stream stays linear in input (no quadratic blowup)
+        assert spark.table(qname).count() == 12 * cfg.bands
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
