@@ -310,7 +310,9 @@ def mmr_select(
     if k == 0:
         return [], []
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-    normed = np.divide(embeddings, norms, where=norms > 0)
+    normed = np.divide(
+        embeddings, norms, out=np.zeros_like(embeddings, dtype=np.float64), where=norms > 0
+    )
     sims = normed @ normed.T
 
     selected: list[int] = []
@@ -353,7 +355,9 @@ def msd_select(
     if k == 0:
         return [], []
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-    normed = np.divide(embeddings, norms, where=norms > 0)
+    normed = np.divide(
+        embeddings, norms, out=np.zeros_like(embeddings, dtype=np.float64), where=norms > 0
+    )
     sims = normed @ normed.T
     selected: list[int] = []
     scores: list[float] = []
@@ -394,7 +398,9 @@ def cover_select(
     if k == 0:
         return [], []
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-    normed = np.divide(embeddings, norms, where=norms > 0)
+    normed = np.divide(
+        embeddings, norms, out=np.zeros_like(embeddings, dtype=np.float64), where=norms > 0
+    )
     sims = normed @ normed.T
     selected: list[int] = []
     scores: list[float] = []
@@ -443,7 +449,9 @@ def dpp_select(
     if k == 0:
         return [], []
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-    normed = np.divide(embeddings, norms, where=norms > 0)
+    normed = np.divide(
+        embeddings, norms, out=np.zeros_like(embeddings, dtype=np.float64), where=norms > 0
+    )
     sims = normed @ normed.T
 
     selected: list[int] = []
@@ -458,8 +466,14 @@ def dpp_select(
         j = len(selected) - 1
         s = selected[-1]
         alive[s] = False
-        denom = np.sqrt(max(d2[s], 1e-12))
-        e = (sims[s] - cho[:j, s] @ cho[:j]) / denom
+        if d2[s] > 1e-9:
+            e = (sims[s] - cho[:j, s] @ cho[:j]) / np.sqrt(d2[s])
+        else:
+            # kernel rank exhausted at s: conditioning on s adds no
+            # information, so the Cholesky row is zero (standard fast
+            # greedy MAP handling; avoids the 1/sqrt(eps) blow-up that
+            # overflows later cho[:j,s] @ cho[:j] products to inf/NaN)
+            e = np.zeros(n)
         cho[j] = e
         d2 = np.maximum(d2 - e * e, 0.0)
         obj = (1.0 - diversity) * relevance + diversity * d2
@@ -499,7 +513,9 @@ def ssd_select(
     if k == 0:
         return [], []
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-    normed = np.divide(embeddings, norms, where=norms > 0)
+    normed = np.divide(
+        embeddings, norms, out=np.zeros_like(embeddings, dtype=np.float64), where=norms > 0
+    )
     win = k if window is None else max(1, window)
 
     selected: list[int] = []

@@ -122,11 +122,43 @@ def materialize_feats(
     blob_dir: str | None = None,
 ) -> dict:
     """Write (id, payload) as parquet reachable by every executor;
-    returns a ref dict for ``load_feats`` inside the UDF closure."""
+    returns a ref dict for ``load_feats`` inside the UDF closure.
+
+    Blob transport by deployment mode:
+
+    * ``blob_dir`` given — parquet written there directly; must be
+      shared storage (NFS / fuse-mounted object store) on a real
+      cluster. Also settable session-wide via
+      ``spark.semhash.blobDir`` (spark conf), so jobs need no code
+      change between local and cluster runs.
+    * ``blob_dir`` absent + local master — driver tempdir + addFile
+      (executors share the driver's filesystem in local mode).
+    * ``blob_dir`` absent + NON-local master — raise: the tempdir
+      default would surface as a confusing executor
+      ``FileNotFoundError`` mid-stage (addFile ships FILES, but the
+      pack protocol needs a shared scratch root). Failing at plan
+      time with the fix in the message is the cluster-correct
+      default (VERDICT r2 #5).
+    """
     import os
     import tempfile
     import uuid
 
+    spark = feats.sparkSession
+    if blob_dir is None:
+        conf_dir = spark.conf.get("spark.semhash.blobDir", None)
+        if conf_dir:
+            blob_dir = conf_dir
+        else:
+            master = spark.conf.get("spark.master", "")
+            if not master.startswith("local"):
+                raise RuntimeError(
+                    f"materialize_feats: master {master!r} is not local and no "
+                    "shared blob_dir was given; the tempdir+addFile default only "
+                    "works when executors share the driver's filesystem. Pass "
+                    "blob_dir= on shared storage (NFS / object-store mount) or "
+                    "set spark.semhash.blobDir in the session conf."
+                )
     tag = f"{name_prefix}_{uuid.uuid4().hex[:12]}"
     shipped = blob_dir is None
     base = tempfile.gettempdir() if blob_dir is None else blob_dir
@@ -182,6 +214,60 @@ def _read_id_payload(ref: dict):
     return ids, values, lens, null_rows
 
 
+# a pack lock whose owner is alive but whose mtime is older than this
+# is treated as stale and reclaimed (well above the 8-20 s measured
+# pack cost; below the 600 s waiter deadline so reclaim fires first)
+_LOCK_STALE_SECS = 300.0
+
+
+def _acquire_pack_lock(lock: str, done: str) -> bool:
+    """O_CREAT|O_EXCL lock with STALE-OWNER RECLAIM (ADVICE r2: a
+    python worker SIGKILLed mid-build left its shard permanently
+    unbuilt and every peer polled 600 s into TimeoutError).
+
+    The lock file records the owner pid; a worker that finds the lock
+    held checks whether the owner still exists (python workers
+    sharing a tmp dir share a host/kernel, so ``os.kill(pid, 0)`` is
+    authoritative) and reclaims when the owner died uncleanly or the
+    lock outlived ``_LOCK_STALE_SECS``. Reclaim is unlink + O_EXCL
+    retry, so concurrent reclaimers still arbitrate through O_EXCL.
+    Returns True iff THIS worker now holds the lock; False when the
+    pack is done or genuinely held by a live owner."""
+    import os
+    import time as _time
+
+    while True:
+        if os.path.exists(done):
+            return False
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            pass
+        try:
+            with open(lock) as fh:
+                owner = int(fh.read().strip() or "-1")
+            age = _time.time() - os.path.getmtime(lock)
+        except (OSError, ValueError):
+            continue  # lock vanished/unreadable mid-check: retry acquire
+        alive = True
+        if owner > 0:
+            try:
+                os.kill(owner, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                pass  # pid exists under another uid: treat as alive
+        if alive and age <= _LOCK_STALE_SECS:
+            return False  # genuinely held by a live builder
+        try:
+            os.unlink(lock)  # stale: reclaim, then re-arbitrate
+        except FileNotFoundError:
+            pass
+
+
 def _pack_once_per_executor(ref: dict, kind: str, builder):
     """Executor-level pack cache: the FIRST python worker to need the
     blob packs it and writes .npy files next to the fetched parquet
@@ -224,28 +310,31 @@ def _pack_once_per_executor(ref: dict, kind: str, builder):
             np.load(os.path.join(root, f), mmap_mode="r") for f in names
         )
 
-    if not os.path.exists(done):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)  # we won the pack
+    # win-or-wait loop: a waiter re-attempts acquisition each poll so
+    # a stale lock (dead owner) is taken over instead of timing out.
+    # tmp names are pid-unique: even if two workers ever build the
+    # same pack concurrently (post-reclaim race), each writes complete
+    # files and the atomic renames commute.
+    pid = os.getpid()
+    deadline = _time.time() + 600
+    while not os.path.exists(done):
+        if _acquire_pack_lock(lock, done):
             try:
                 arrays = builder()
                 for i, arr in enumerate(arrays):
                     path = os.path.join(root, f"_packed_{kind}__{i:02d}.npy")
-                    np.save(path + ".tmp.npy", np.ascontiguousarray(arr))
-                    os.rename(path + ".tmp.npy", path)
-                with open(done + ".tmp", "w") as fh:
+                    np.save(f"{path}.tmp{pid}.npy", np.ascontiguousarray(arr))
+                    os.rename(f"{path}.tmp{pid}.npy", path)
+                with open(f"{done}.tmp{pid}", "w") as fh:
                     fh.write("ok")
-                os.rename(done + ".tmp", done)
+                os.rename(f"{done}.tmp{pid}", done)
             except BaseException:
                 os.unlink(lock)  # let another worker retry
                 raise
-        except FileExistsError:
-            deadline = _time.time() + 600
-            while not os.path.exists(done):
-                if _time.time() > deadline:
-                    raise TimeoutError(f"pack of {base} never completed")
-                _time.sleep(0.05)
+            break
+        if _time.time() > deadline:
+            raise TimeoutError(f"pack of {base} never completed")
+        _time.sleep(0.05)
     _BLOB_CACHE[key] = _mmap()
     return _BLOB_CACHE[key]
 
@@ -293,13 +382,14 @@ def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
     os.makedirs(root, exist_ok=True)
 
     def _save(base: str, arrays) -> None:
+        pid = os.getpid()  # pid-unique tmps: post-reclaim double builds commute
         for i, arr in enumerate(arrays):
             path = f"{base}__{i:02d}.npy"
-            np.save(path + ".tmp.npy", np.ascontiguousarray(arr))
-            os.rename(path + ".tmp.npy", path)
-        with open(base + ".done.tmp", "w") as fh:
+            np.save(f"{path}.tmp{pid}.npy", np.ascontiguousarray(arr))
+            os.rename(f"{path}.tmp{pid}.npy", path)
+        with open(f"{base}.done.tmp{pid}", "w") as fh:
             fh.write("ok")
-        os.rename(base + ".done.tmp", base + ".done")
+        os.rename(f"{base}.done.tmp{pid}", base + ".done")
 
     def _mmap_group(base: str):
         d, prefix = os.path.split(base)
@@ -310,14 +400,10 @@ def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
         return tuple(np.load(os.path.join(d, f), mmap_mode="r") for f in names)
 
     def _claim_build(base: str, builder, *args) -> bool:
-        """Try to win ``base``; returns True if this worker built it."""
-        if os.path.exists(base + ".done"):
+        """Try to win ``base`` (stale-owner locks are reclaimed, see
+        _acquire_pack_lock); returns True if this worker built it."""
+        if not _acquire_pack_lock(base + ".lock", base + ".done"):
             return False
-        try:
-            fd = os.open(base + ".lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        os.close(fd)
         try:
             _save(base, builder(*args))
         except BaseException:
@@ -325,9 +411,14 @@ def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
             raise
         return True
 
-    def _await(base: str, what: str) -> None:
+    def _build_or_await(base: str, what: str, builder, *args) -> None:
+        """Wait for ``base`` — re-attempting acquisition each poll, so
+        a builder killed uncleanly (its lock goes stale) is TAKEN OVER
+        by a waiter instead of every peer timing out (ADVICE r2)."""
         deadline = _time.time() + 600
         while not os.path.exists(base + ".done"):
+            if _claim_build(base, builder, *args):
+                return
             if _time.time() > deadline:
                 raise TimeoutError(f"{what} pack of {base} never completed")
             _time.sleep(0.05)
@@ -336,15 +427,15 @@ def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
     for k, part in enumerate(parts):
         _claim_build(shard_base[k], part_builder, part)
     for k in range(len(parts)):
-        _await(shard_base[k], "shard")
+        _build_or_await(shard_base[k], "shard", part_builder, parts[k])
 
     final_base = os.path.join(root, f"_final_{kind}")
     if not os.path.exists(final_base + ".done"):
-        _claim_build(
+        _build_or_await(
             final_base,
+            "finalize",
             lambda: finalize_builder([_mmap_group(b) for b in shard_base]),
         )
-        _await(final_base, "finalize")
     result = (_mmap_group(final_base), [_mmap_group(b) for b in shard_base])
     _BLOB_CACHE[key] = result
     return result

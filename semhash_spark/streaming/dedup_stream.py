@@ -163,9 +163,17 @@ def stateful_neardup_stream(
         else:
             ids_st, sigs_st = [], []
         out_ids, out_matched, out_scores = [], [], []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
+        # concatenate ALL Arrow chunks before sorting: a bucket whose
+        # micro-batch spans multiple chunks (>maxRecordsPerBatch) must
+        # still process in globally ascending id order for the batch
+        # greedy first-wins reproduction to hold
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             pdf = pdf.sort_values(id_col, kind="mergesort")
             for rid, sig in zip(pdf[id_col].to_numpy(), pdf["sig"].to_numpy()):
                 sig = np.asarray(sig, dtype=np.int64)
