@@ -1,10 +1,19 @@
 """Regenerate the pinned golden tables in __spark_entry__.py.
 
-``containment_lcs`` and ``representatives`` are deterministic but not
-SQL-expressible (suffix-automaton LCS; driver-side MMR), so their
-sf0.01 outputs are pinned as literal DuckDB VALUES tables for the
-driver's value-hash gate. Run this after changing the testdata or
-either algorithm and paste the output over _LCS_GOLDEN / _REP_GOLDEN.
+``containment_lcs`` / ``representatives`` / ``representatives_dpp``
+are deterministic but not SQL-expressible (LCS; driver-side MMR/DPP),
+so their sf0.01 outputs are pinned as literal DuckDB VALUES tables
+for the driver's value-hash gate.
+
+The goldens come from ``tools/oracle_goldens.py`` — an INDEPENDENT
+numpy/pure-python implementation that imports nothing from
+``semhash_spark`` (all-pairs containment, O(n·m) DP LCS, brute-force
+ranking, scalar-loop MMR, Schur-complement DPP). Pin source differs
+from the system under test, so a hash-green driver row is genuine
+cross-verification, not a determinism check (VERDICT r2 #1).
+
+Run after changing the testdata: prints the new tables and diffs
+them against the currently pinned values.
 """
 
 from __future__ import annotations
@@ -15,36 +24,31 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    from semhash_spark.session import get_spark
+    from tools.oracle_goldens import compute
 
-    spark = get_spark("goldens", cores=8, shuffle_partitions=8)
-    import __spark_entry__ as entrymod
-
-    sf = "/root/testdata/sf0.01"
-    lcs = sorted(
-        (r.a, r.b, r.lcs_frac) for r in entrymod.q_containment_lcs(spark, sf).collect()
-    )
+    lcs, rep, rep_dpp = compute()
     print("_LCS_GOLDEN = [")
     for a, b, f in lcs:
         print(f"    ({a}, {b}, {f}),")
     print("]")
-    reps = sorted(
-        ((r.vec_id, r.pos) for r in entrymod.q_representatives(spark, sf).collect()),
-        key=lambda t: t[1],
-    )
     print("_REP_GOLDEN = [")
-    for v, p in reps:
+    for v, p in rep:
         print(f"    ({v}, {p}),")
     print("]")
-    reps_dpp = sorted(
-        ((r.vec_id, r.pos) for r in entrymod.q_representatives_dpp(spark, sf).collect()),
-        key=lambda t: t[1],
-    )
     print("_REP_DPP_GOLDEN = [")
-    for v, p in reps_dpp:
+    for v, p in rep_dpp:
         print(f"    ({v}, {p}),")
     print("]")
-    spark.stop()
+
+    import __spark_entry__ as entrymod
+
+    for name, fresh, pinned in (
+        ("_LCS_GOLDEN", lcs, sorted(entrymod._LCS_GOLDEN)),
+        ("_REP_GOLDEN", rep, entrymod._REP_GOLDEN),
+        ("_REP_DPP_GOLDEN", rep_dpp, entrymod._REP_DPP_GOLDEN),
+    ):
+        status = "MATCHES pinned" if list(fresh) == [tuple(t) for t in pinned] else "DIFFERS from pinned — update __spark_entry__.py"
+        print(f"# {name}: {status}", file=sys.stderr)
 
 
 if __name__ == "__main__":
