@@ -361,7 +361,8 @@ def deduplicate(
     if mode == "minhash":
         qb = band_table(q_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
         ib = band_table(index_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
-        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query)
+        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
+                                      bucket_cap=cfg.bucket_cap)
     elif mode == "simhash":
         qb = explode_band_array(
             q_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
@@ -369,7 +370,8 @@ def deduplicate(
         ib = explode_band_array(
             index_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
         )
-        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query)
+        cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
+                                      bucket_cap=cfg.bucket_cap)
     else:  # brute force
         cands = (
             q_feats.select(F.col(id_col).alias("query_id"))

@@ -167,15 +167,55 @@ def candidate_pairs_cross(
     index_bands: DataFrame,
     id_col: str = "record_id",
     broadcast_query: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct (query_id, index_id) candidate pairs across two sets.
 
     ``broadcast_query=True`` for the reference benchmark shape
     (small test set vs huge fitted index) — ships the query band
     table to every executor, no shuffle of the index side.
+
+    ``bucket_cap`` bounds skew (VERDICT r2 #2): a boilerplate band
+    hash present on BOTH sides would otherwise emit
+    |Q_bucket| x |I_bucket| pairs — exactly the flood the self path
+    star-caps. Here the INDEX side of each oversized bucket is
+    THINNED to ~``bucket_cap`` members by CONSISTENT hash sampling:
+    keep iff ``pmod(xxhash64(index_id), 2^31) * bucket_n <
+    cap * 2^31`` (rate cap/bucket_n on a hash of the id ALONE, so the
+    survivor sets of different oversized buckets are nested — the
+    distinct pair relation stays ~|Q| * cap instead of
+    |Q| * cap * bands if each band sampled independently). A pure
+    map-side filter after an annotate join: NO per-bucket sort/window
+    anywhere, so a 10^9-member boilerplate bucket never lands in one
+    task (a row_number top-cap would). The QUERY side is never
+    capped: every query record keeps its chance to match (existential
+    cross-dedup semantics), and a true near-dup's content-driven
+    bands still co-bucket it with its index partner — same recall
+    argument as the self-path star cap, asserted by the
+    planted-boilerplate stress test in tests/test_skew.py. Buckets
+    <= cap are untouched. The oversized-bucket list is usually tiny
+    (AQE broadcasts it); no hint is forced so a pathological count of
+    oversized buckets degrades to a same-key shuffle join, never an
+    executor OOM.
     """
     q = query_bands.select(*BAND_COLS, F.col(id_col).alias("query_id"))
     i = index_bands.select(*BAND_COLS, F.col(id_col).alias("index_id"))
+    if bucket_cap is not None:
+        big = (
+            i.groupBy(*BAND_COLS)
+            .agg(F.count("*").alias("bucket_n"))
+            .where(F.col("bucket_n") > bucket_cap)
+        )
+        # 2^31 scale keeps pmod * bucket_n inside long range for
+        # bucket_n up to ~4e9
+        scale = 1 << 31
+        i = i.join(big, list(BAND_COLS), "left").where(
+            F.col("bucket_n").isNull()
+            | (
+                F.pmod(F.xxhash64("index_id"), F.lit(scale)) * F.col("bucket_n")
+                < F.lit(bucket_cap) * F.lit(scale)
+            )
+        ).drop("bucket_n")
     if broadcast_query:
         q = F.broadcast(q)
     return q.join(i, list(BAND_COLS)).select("query_id", "index_id").distinct()
