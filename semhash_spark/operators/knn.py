@@ -121,8 +121,12 @@ def ivf_topk(
     pairs = q.join(idx, "cell")
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("index_id"))
-    scored = pairs.withColumn("score", cosine_similarity("_qe", "_ie")).select(
-        "query_id", "index_id", "score"
+    scored = (
+        pairs.withColumn("score", cosine_similarity("_qe", "_ie"))
+        .select("query_id", "index_id", "score")
+        # NULL/zero-norm never ranks — same semantics as the
+        # broadcast/crossjoin top-k strategies (rank.topk_scores)
+        .where(F.col("score").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("index_id").asc()

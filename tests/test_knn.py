@@ -132,3 +132,25 @@ def test_cosine_selfdedup_lsh_path_matches_fused(spark):
     a, b = assign(fused), assign(lsh)
     agree = sum(a[k] == b[k] for k in a) / len(a)
     assert agree >= 0.99, agree  # 16 bands x 4-bit width: recall ~1 at cos .99
+
+
+def test_auto_above_cap_routes_to_ivf_and_stays_exact(spark, monkeypatch):
+    """VERDICT r2 #3: above BROADCAST_TOPK_CAP the auto strategy must
+    fall back to the IVF cell equi-join (exhaustive probe -> exact),
+    never the |Q| x |X| crossjoin."""
+    import semhash_spark.operators.rank as rank_mod
+
+    emb = _clustered_embeddings(spark, n_centers=4, per_center=20)
+    golden = {
+        (r.query_id, r.rk): r.index_id
+        for r in topk_scores(emb, emb, 5, exclude_self=True,
+                             strategy="broadcast").collect()
+    }
+    monkeypatch.setattr(rank_mod, "BROADCAST_TOPK_CAP", 0)
+    auto = topk_scores(emb, emb, 5, exclude_self=True, strategy="auto")
+    plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    got = {(r.query_id, r.rk): r.index_id for r in auto.collect()}
+    assert got == golden
