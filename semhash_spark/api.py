@@ -183,15 +183,17 @@ class SparkSemHash:
 
     def self_filter_outliers(self, outlier_percentage: float | None = None) -> FilterResultDF:
         pct = self.cfg.outlier_percentage if outlier_percentage is None else outlier_percentage
-        inl, outl = rank_ops.filter_outliers(self.self_rank(), pct)
-        return FilterResultDF(selected=inl, filtered=outl)
+        persisted: list = []
+        inl, outl = rank_ops.filter_outliers(self.self_rank(), pct, persisted)
+        return FilterResultDF(selected=inl, filtered=outl, _persisted=persisted)
 
     def filter_outliers(
         self, query_df: DataFrame, outlier_percentage: float | None = None
     ) -> FilterResultDF:
         pct = self.cfg.outlier_percentage if outlier_percentage is None else outlier_percentage
-        inl, outl = rank_ops.filter_outliers(self.rank(query_df), pct)
-        return FilterResultDF(selected=inl, filtered=outl)
+        persisted: list = []
+        inl, outl = rank_ops.filter_outliers(self.rank(query_df), pct, persisted)
+        return FilterResultDF(selected=inl, filtered=outl, _persisted=persisted)
 
     def self_find_representative(
         self,

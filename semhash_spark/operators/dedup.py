@@ -68,7 +68,7 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
         else:
             from semhash_spark.operators.ids import rendered_record
 
-            df = df.withColumn("_rendered", rendered_record(cfg.columns))
+            df = df.withColumn("_rendered", rendered_record(cfg.columns, df))
             text_col = "_rendered"
         df = df.withColumn(
             "shingles", shingle_hashes(text_col, cfg.shingle_k, cfg.shingle_mode)

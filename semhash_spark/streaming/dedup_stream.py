@@ -30,7 +30,7 @@ def exact_dedup_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Drop exact duplicates arriving within the watermark window."""
-    keyed = stream_df.withColumn("exact_key", exact_key(columns))
+    keyed = stream_df.withColumn("exact_key", exact_key(columns, stream_df))
     return keyed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         ["exact_key"]
     )
@@ -85,7 +85,7 @@ def windowed_dup_counts(
     window: str = "5 minutes",
 ) -> DataFrame:
     """Per-window duplicate-group counts (monitoring surface)."""
-    keyed = stream_df.withColumn("exact_key", exact_key(columns))
+    keyed = stream_df.withColumn("exact_key", exact_key(columns, stream_df))
     return (
         keyed.withWatermark(event_time_col, watermark)
         .groupBy(F.window(event_time_col, window), "exact_key")

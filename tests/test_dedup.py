@@ -188,3 +188,29 @@ def test_partitioning_independence(spark):
         return out
 
     assert assignment(3) == assignment(17)
+
+
+def test_selected_with_duplicates_include_records(spark, cfg):
+    """VERDICT r2 #9: include_records=True carries the duplicates'
+    payload columns inside the buckets (reference returns whole
+    duplicate records, semhash/datamodels.py:111-149)."""
+    res = self_deduplicate(_sent_df(spark), cfg, mode="jaccard_exact")
+    try:
+        # independent expectation from the filtered relation itself
+        expected = {}
+        for r in res.filtered.collect():
+            expected.setdefault(r.exemplar_id, set()).add((r.record_id, r.text))
+        view = res.selected_with_duplicates(include_records=True)
+        got_rows = view.collect()
+        got = {}
+        for row in got_rows:
+            if row.duplicates:
+                got[row.record_id] = {(d.dup_id, d.text) for d in row.duplicates}
+        assert got == expected
+        # plain form unchanged: (dup_id, score) structs only
+        plain = res.selected_with_duplicates().collect()
+        for row in plain:
+            if row.duplicates:
+                assert set(row.duplicates[0].asDict()) == {"dup_id", "score"}
+    finally:
+        res.release()

@@ -59,3 +59,50 @@ def test_frame_sample_plan_shape(spark):
     assert got[0] == (2, 1)      # 2052 bytes -> 2 frames
     assert got[1] == (4, 3)      # 5004 bytes -> 4 frames
     assert got[3] == (1, 0)      # empty payload -> single frame 0
+
+
+def test_custom_decode_fn_injection(spark):
+    """VERDICT r2 #10: a caller-supplied decode_fn rides the same
+    Arrow mapInPandas path as the fake decoder."""
+    from semhash_spark.operators.multimodal import extract_media_features
+
+    def _byte_mean_decoder(payload: bytes):
+        # nested def -> cloudpickle serializes it BY VALUE into the
+        # UDF closure (a test-module top-level fn is pickled by
+        # reference and the worker cannot import the test module)
+        import numpy as np
+
+        b = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+        return np.array(
+            [b.mean(), b.std(), float(len(b)), float(b[0])], dtype=np.float32
+        )
+
+    rows = [(1, "image", 2, 2, bytearray(b"abcd")), (2, "audio", 0, 0, bytearray(b"zz"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, payload binary"
+    )
+    out = extract_media_features(df, decode_fn=_byte_mean_decoder).collect()
+    got = {r.media_id: r for r in out}
+    assert got[1].feat_dim == 4 and got[2].feat_dim == 4
+    import numpy as np
+
+    exp1 = _byte_mean_decoder(b"abcd")
+    assert np.allclose(got[1].feat, exp1, rtol=1e-6)
+    assert got[1].n_bytes == 4 and got[2].n_bytes == 2
+
+
+def test_real_decoder_still_raises(spark):
+    from semhash_spark.operators.multimodal import extract_media_features
+
+    rows = [(1, "image", 2, 2, bytearray(b"abcd"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, payload binary"
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        extract_media_features(df, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -141,3 +141,42 @@ def test_ssd_sliding_window_forgets_old_picks():
     rel = np.array([1.0, 0.9, 0.8])
     sel, _ = ssd_select(emb, rel, 3, diversity=1.0, window=1)
     assert sel == [0, 1, 2]
+
+
+def test_filter_result_release_unpersists(spark):
+    """VERDICT r2 #6: the outlier ranking cache must be releasable —
+    FilterResultDF.release() mirrors DedupResult.release()."""
+    from semhash_spark.datamodels import FilterResultDF
+    from semhash_spark.operators.rank import filter_outliers
+
+    rows = [(i, float(100 - i)) for i in range(50)]
+    ranking = spark.createDataFrame(rows, "query_id long, avg_score double")
+    persisted: list = []
+    inl, outl = filter_outliers(ranking, 0.1, persisted)
+    res = FilterResultDF(selected=inl, filtered=outl, _persisted=persisted)
+    assert outl.count() == 5
+    assert len(res._persisted) == 1
+    cached = res._persisted[0]
+    assert cached.is_cached
+    res.release()
+    assert not cached.is_cached
+    assert res._persisted == []
+    # results remain usable post-release (they recompute)
+    assert inl.count() == 45
+
+
+def test_filter_outliers_leaves_caller_cache_alone(spark):
+    """A pre-cached ranking (the api's memoized self_rank) is not
+    re-registered for release — its owner manages that cache."""
+    from semhash_spark.operators.rank import filter_outliers
+
+    rows = [(i, float(i)) for i in range(30)]
+    ranking = spark.createDataFrame(rows, "query_id long, avg_score double").persist()
+    try:
+        persisted: list = []
+        inl, outl = filter_outliers(ranking, 0.2, persisted)
+        assert outl.count() == 6
+        assert persisted == []
+        assert ranking.is_cached
+    finally:
+        ranking.unpersist()
