@@ -90,8 +90,11 @@ def main() -> None:
 
     def run_corpus_selfdedup() -> float:
         runs = []
-        for _ in range(HEADLINE_RUNS):
-            stages: dict = {}
+        for i in range(HEADLINE_RUNS):
+            # per-stage barriers only on the FIRST run: the breakdown
+            # is diagnostic; later runs measure the uninstrumented
+            # pipeline (no forced stage materialization)
+            stages: dict | None = {} if i == 0 else None
             t0 = time.perf_counter()
             res = self_deduplicate(corpus, code_cfg, mode="minhash",
                                    stage_times=stages)
@@ -106,8 +109,10 @@ def main() -> None:
         extras["corpus_selected"] = n_sel
         extras["corpus_filtered"] = n_fil
         best = min(runs, key=lambda r: r["sec"])
+        secs = sorted(r["sec"] for r in runs)
         extras["selfdedup_runs"] = runs
-        extras["selfdedup_stages"] = best["stages"]
+        extras["selfdedup_stages"] = runs[0]["stages"]
+        extras["selfdedup_median_sec"] = secs[len(secs) // 2]
         return best["sec"]
 
     # cross-dedup mirrors the reference benchmark's fit/dedup split
@@ -212,6 +217,9 @@ def main() -> None:
         "sf": sf,
         "corpus_files": corpus_n,
         "files_per_sec": round(corpus_n / timings["corpus_selfdedup"], 1),
+        "files_per_sec_median": round(
+            corpus_n / extras["selfdedup_median_sec"], 1
+        ),
         "cpus": cpus,
     }
     for k, v in extras.items():

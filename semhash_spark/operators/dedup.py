@@ -263,6 +263,13 @@ def self_deduplicate(
     ex = exemplars.join(cc, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col))
     )
+    if checkpointer is None:
+        # selected, filtered AND pairs are separate downstream actions
+        # over this join; cache the labeled exemplars so it runs once
+        # (VERDICT r2 #4: result bookkeeping re-ran the cc join per
+        # action)
+        ex = ex.persist()
+        persisted.append(ex)
     sel = ex.where(F.col("cluster_id") == F.col(id_col)).drop(
         "cluster_id", "exemplar_id", "is_exact_dup"
     )
