@@ -32,6 +32,11 @@ class DedupConfig:
     # --- MinHash / LSH banding ---
     num_perm: int = 128
     bands: int = 32  # rows per band = num_perm // bands
+    # signature family: "kperm" (classic Broder, num_perm passes) or
+    # "oph" (one-permutation hashing + densification, ONE pass —
+    # ~10-30x less sketch compute; the scale path when featurize
+    # dominates). Downstream banding/verify is family-agnostic.
+    minhash_family: str = "kperm"
 
     # --- SimHash ---
     simhash_bits: int = 64
@@ -81,6 +86,10 @@ class DedupConfig:
             raise ValueError("num_perm must be divisible by bands")
         if not 0.0 <= self.threshold <= 1.0:
             raise ValueError("threshold must be in [0, 1]")
+        if self.minhash_family not in ("kperm", "oph"):
+            raise ValueError("minhash_family must be 'kperm' or 'oph'")
+        if self.minhash_family == "oph" and self.num_perm & (self.num_perm - 1):
+            raise ValueError("minhash_family='oph' needs a power-of-two num_perm")
 
     @property
     def rows_per_band(self) -> int:

