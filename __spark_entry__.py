@@ -151,6 +151,29 @@ def q_selfdedup_clusters(spark, sf_dir):
     )
 
 
+def q_selfdedup_clusters_oph(spark, sf_dir):
+    # D2/D3 with the one-permutation signature family (F4 variant,
+    # functions/hashing.py:oph_signature): banding/verify/CC are
+    # family-agnostic and exact verification re-scores every
+    # candidate, so the clusters must be BIT-IDENTICAL to the k-perm
+    # family and to the all-pairs SQL oracle whenever candidate
+    # recall is complete (it is at this SF; the planted-recall bar is
+    # tests/test_oph.py)
+    docs = _documents(spark, sf_dir)
+    res = self_deduplicate(
+        docs, DOC_CFG.with_(minhash_family="oph"), mode="minhash"
+    )
+    sel = res.selected.select(
+        F.col("record_id").alias("doc_id"), F.col("record_id").alias("cluster_id")
+    )
+    fil = res.filtered.select(
+        F.col("record_id").alias("doc_id"), F.col("exemplar_id").alias("cluster_id")
+    )
+    return sel.unionByName(fil).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
 def q_selfdedup_stats(spark, sf_dir):
     # D5: scalar stats row
     res = _docs_selfdedup(spark, sf_dir)
@@ -517,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_first_per_key": q_events_first_per_key,
         "jaccard3_pairs": q_jaccard3_pairs,
         "selfdedup_clusters": q_selfdedup_clusters,
+        "selfdedup_clusters_oph": q_selfdedup_clusters_oph,
         "selfdedup_stats": q_selfdedup_stats,
         "cosine_dedup_clusters": q_cosine_dedup_clusters,
         "cross_dedup_cosine_selected": q_cross_dedup_cosine_selected,
@@ -892,6 +916,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "jaccard3_pairs": _JACCARD_PAIRS,
+        "selfdedup_clusters_oph": _CLUSTERS_CTE
+        + "SELECT doc_id, cluster_id FROM comp ORDER BY doc_id",
         "selfdedup_clusters": _CLUSTERS_CTE
         + "SELECT doc_id, cluster_id FROM comp",
         "selfdedup_stats": _CLUSTERS_CTE
