@@ -131,9 +131,13 @@ def main() -> None:
 
     def run_corpus_cross() -> None:
         # 1% of the corpus as the query set; slot 1 is the planted
-        # exact duplicate of slot 0 (in the index)
+        # exact duplicate of slot 0 (in the index). broadcast_query
+        # is the reference benchmark's shape (small test batch vs
+        # huge fitted index, dedup-only timing split): the fitted
+        # band/key tables are memoized on the fit and the query band
+        # table broadcasts, so the index side never reshuffles.
         q = corpus.where(F.col("record_id") % 100 == 1)
-        res = _fitted["sh"].deduplicate(q)
+        res = _fitted["sh"].deduplicate(q, broadcast_query=True)
         extras["cross_selected"] = res.selected.count()
         extras["cross_filtered"] = res.filtered.count()
 

@@ -83,6 +83,13 @@ class SparkSemHash:
         self._exemplars: DataFrame | None = None
         self._feats: DataFrame | None = None
         self._ranking: DataFrame | None = None  # memoized self-ranking
+        # fitted-side cross-dedup memos (built lazily on the first
+        # deduplicate() call): the index key table and band table are
+        # static per fit, so repeated query batches pay only
+        # query-side work — the reference benchmark's dedup-only
+        # split (benchmarks/README.md:43-61)
+        self._idx_keys: DataFrame | None = None
+        self._idx_bands: DataFrame | None = None
 
     # ------------------------------------------------------------ fit
     def fit(self, df: DataFrame) -> "SparkSemHash":
@@ -115,6 +122,25 @@ class SparkSemHash:
         if self._df is None:
             raise RuntimeError("call fit()/fit_embeddings() first")
 
+    def release(self) -> None:
+        """Unpersist every cache this fitted object owns (exemplars,
+        features, memoized ranking, cross-dedup key/band tables).
+        The object stays usable — frames recompute on next use; call
+        when done querying this fit (cache-lifecycle parity with
+        DedupResult.release / FilterResultDF.release)."""
+        for df in (
+            self._exemplars, self._feats, self._ranking,
+            self._idx_keys, self._idx_bands,
+        ):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        self._ranking = None
+        self._idx_keys = None
+        self._idx_bands = None
+
     # ---------------------------------------------------------- dedup
     def self_deduplicate(
         self, threshold: float | None = None, checkpointer=None
@@ -131,6 +157,29 @@ class SparkSemHash:
         broadcast_query: bool = False,
     ) -> DedupResult:
         self._require_fit()
+        if self._idx_keys is None:
+            from semhash_spark.operators.exact import index_key_table
+
+            self._idx_keys = index_key_table(
+                self._df, self.cfg.columns, self.cfg.id_col
+            ).persist()
+        if self._idx_bands is None and self.mode in ("minhash", "simhash"):
+            from semhash_spark.functions.hashing import simhash_bands
+            from semhash_spark.operators.lsh import band_table, explode_band_array
+
+            if self.mode == "minhash":
+                self._idx_bands = band_table(
+                    self._feats, "sig", self.cfg.bands, self.cfg.id_col,
+                    self.cfg.rows_per_band,
+                ).persist()
+            else:
+                self._idx_bands = explode_band_array(
+                    self._feats.withColumn(
+                        "shb", simhash_bands("sim64", self.cfg.simhash_bands)
+                    ),
+                    "shb",
+                    self.cfg.id_col,
+                ).persist()
         return dedup_ops.deduplicate(
             query_df,
             self._df,
@@ -139,6 +188,8 @@ class SparkSemHash:
             threshold,
             index_feats=self._feats,
             broadcast_query=broadcast_query,
+            index_keys=self._idx_keys,
+            index_bands=self._idx_bands,
         )
 
     # ----------------------------------------------------- rank-based

@@ -342,6 +342,8 @@ def deduplicate(
     threshold: float | None = None,
     index_feats: DataFrame | None = None,
     broadcast_query: bool = False,
+    index_keys: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DedupResult:
     """Cross-dataset dedup of ``query_df`` against fitted ``index_df``.
 
@@ -349,12 +351,22 @@ def deduplicate(
     with ANY >=threshold neighbor in the index is filtered; no
     clustering. ``exemplar_id`` = best-matching index row (max score,
     ties to min id).
+
+    ``index_keys`` / ``index_bands``: precomputed (usually cached)
+    index-side exact-key table and band table — the fitted side of a
+    repeated-query workload is static, so the api memoizes both and
+    each ``deduplicate`` call pays only query-side work (the
+    reference benchmark's dedup-only split, benchmarks/README.md:
+    43-61, where a 4.3k-query batch scores against 1.8M fitted in
+    under a second).
     """
     threshold = cfg.threshold if threshold is None else threshold
     id_col = cfg.id_col
 
     persisted: list = []
-    kept, exact_dups = cross_exact_split(query_df, index_df, cfg.columns, id_col)
+    kept, exact_dups = cross_exact_split(
+        query_df, index_df, cfg.columns, id_col, index_keys=index_keys
+    )
     kept = kept.persist()
     persisted.append(kept)
 
@@ -372,15 +384,27 @@ def deduplicate(
 
     if mode == "minhash":
         qb = band_table(q_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
-        ib = band_table(index_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+        ib = (
+            index_bands
+            if index_bands is not None
+            else band_table(index_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+        )
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
                                       bucket_cap=cfg.bucket_cap)
     elif mode == "simhash":
         qb = explode_band_array(
             q_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
         )
-        ib = explode_band_array(
-            index_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
+        ib = (
+            index_bands
+            if index_bands is not None
+            else explode_band_array(
+                index_feats.withColumn(
+                    "shb", simhash_bands("sim64", cfg.simhash_bands)
+                ),
+                "shb",
+                id_col,
+            )
         )
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
                                       bucket_cap=cfg.bucket_cap)

@@ -56,20 +56,38 @@ def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataF
     ).withColumn("is_exact_dup", F.col("_ex_min").isNotNull()).drop("_ex_min")
 
 
+def index_key_table(index_df: DataFrame, columns, id_col: str = "record_id") -> DataFrame:
+    """(exact_key, exemplar_id=min id) per distinct index key — the
+    fitted seen-set. Precompute + persist this once per fitted index
+    (api.SparkSemHash memoizes it) so repeated ``deduplicate`` calls
+    skip re-hashing the whole index side."""
+    return (
+        with_exact_key(index_df, columns)
+        .groupBy(EXACT_KEY)
+        .agg(F.min(id_col).alias("exemplar_id"))
+    )
+
+
 def cross_exact_split(
-    query_df: DataFrame, index_df: DataFrame, columns, id_col: str = "record_id"
+    query_df: DataFrame,
+    index_df: DataFrame,
+    columns,
+    id_col: str = "record_id",
+    index_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split query rows into (kept, exact_dups_vs_index).
 
     ``exact_dups`` rows carry ``exemplar_id`` = the index group's
     exemplar (min id). Query-internal duplicates are intentionally
-    NOT collapsed (reference utils.py:112).
+    NOT collapsed (reference utils.py:112). Pass ``index_keys`` (from
+    ``index_key_table``, typically cached) to skip recomputing the
+    index-side key aggregation per call.
     """
     q = with_exact_key(query_df, columns)
     idx_keys = (
-        with_exact_key(index_df, columns)
-        .groupBy(EXACT_KEY)
-        .agg(F.min(id_col).alias("exemplar_id"))
+        index_keys
+        if index_keys is not None
+        else index_key_table(index_df, columns, id_col)
     )
     # match on the (id, key) projection so the wide query rows never
     # shuffle on exact_key; the hit list (one row per exact dup) then

@@ -92,3 +92,28 @@ def test_with_record_id_natural_key(spark):
     dup = spark.createDataFrame([("x",), ("x",)], "k string")
     with pytest.raises(ValueError, match="collision"):
         with_record_id(dup, natural_key=["k"])
+
+
+def test_index_key_table_reuse_matches_recompute(spark):
+    """cross_exact_split with a precomputed (cached) index key table
+    must split identically to the per-call recompute path."""
+    from semhash_spark.operators.exact import cross_exact_split, index_key_table
+
+    idx = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a"), (3, "c")], "record_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(10, "a"), (11, "z"), (12, "c")], "record_id long, text string"
+    )
+    keys = index_key_table(idx, ("text",)).persist()
+    try:
+        k1, d1 = cross_exact_split(q, idx, ("text",))
+        k2, d2 = cross_exact_split(q, idx, ("text",), index_keys=keys)
+        assert sorted(r.record_id for r in k1.collect()) == sorted(
+            r.record_id for r in k2.collect()
+        ) == [11]
+        got1 = {(r.record_id, r.exemplar_id) for r in d1.collect()}
+        got2 = {(r.record_id, r.exemplar_id) for r in d2.collect()}
+        assert got1 == got2 == {(10, 0), (12, 3)}
+    finally:
+        keys.unpersist()

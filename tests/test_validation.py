@@ -97,3 +97,28 @@ def test_dedup_result_release(spark, sf_dir):
     assert any(df.storageLevel.useMemory for df in res._persisted)
     res.release()
     assert res._persisted == []
+
+
+def test_fitted_release_unpersists_all_caches(spark):
+    """SparkSemHash.release() drops every cache the fit owns,
+    including the lazily-built cross-dedup key/band memos."""
+    from semhash_spark.api import SparkSemHash
+    from semhash_spark.config import DedupConfig
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(20)],
+        "record_id long, text string",
+    )
+    sh = SparkSemHash(DedupConfig(columns=("text",), threshold=0.8)).fit(df)
+    res = sh.deduplicate(df.where("record_id >= 15"))
+    res.selected.count()
+    res.release()
+    cached = [sh._exemplars, sh._feats, sh._idx_keys, sh._idx_bands]
+    assert all(c is not None and c.is_cached for c in cached)
+    sh.release()
+    assert not sh._exemplars.is_cached and not sh._feats.is_cached
+    assert sh._idx_keys is None and sh._idx_bands is None
+    # still usable after release (recomputes)
+    res2 = sh.deduplicate(df.where("record_id >= 15"))
+    assert res2.selected.count() + res2.filtered.count() == 5
+    res2.release()
