@@ -126,7 +126,10 @@ def main() -> None:
     def run_corpus_fit() -> None:
         idx = corpus.where(F.col("record_id") % 100 != 1)
         sh = SparkSemHash(code_cfg, mode="minhash").fit(idx)
-        sh._feats.count()  # materialize the fitted feature table
+        # materialize features + cross-dedup key/band memos: this IS
+        # the index-build phase (the reference benchmark reports
+        # build and dedup-only seconds separately)
+        sh.prepare_index()
         _fitted["sh"] = sh
 
     def run_corpus_cross() -> None:
@@ -175,11 +178,20 @@ def main() -> None:
         from semhash_spark.functions.hashing import shingle_hashes
         from semhash_spark.operators.containment import containment_edges
 
+        # persist the shingle table: the anchor explode and the two
+        # verify-side rehydration joins all read it (3 derivations of
+        # the same JVM shingle pass otherwise); cache fill is inside
+        # the timed region
         feats = corpus.select(
             "record_id", shingle_hashes("content", 5).alias("shingles")
-        )
-        cfg = code_cfg.with_(containment_threshold=0.9, anchor_mod=8)
-        extras["containment_edges"] = containment_edges(feats, cfg, "record_id").count()
+        ).persist()
+        try:
+            cfg = code_cfg.with_(containment_threshold=0.9, anchor_mod=8)
+            extras["containment_edges"] = containment_edges(
+                feats, cfg, "record_id"
+            ).count()
+        finally:
+            feats.unpersist()
 
     def run_text_stats() -> None:
         from semhash_spark.functions.text import (

@@ -52,6 +52,13 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--with-containment", action="store_true",
                    help="also run the winnowing containment stage")
+    p.add_argument("--against", default=None,
+                   help="parquet path of a reference/index corpus: runs "
+                        "CROSS dedup (--input queried against it, "
+                        "existential semantics) instead of self dedup")
+    p.add_argument("--broadcast-query", action="store_true",
+                   help="cross mode: broadcast the query band table "
+                        "(small query batch vs huge index)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,7 +96,23 @@ def main() -> None:
         extra = containment_edges(feats, cfg, "record_id")
 
     t0 = time.time()
-    res = self_deduplicate(df, cfg, mode=args.mode, checkpointer=ck, extra_edges=extra)
+    if args.against:
+        from semhash_spark.api import SparkSemHash
+
+        idx = spark.read.parquet(args.against)
+        if "record_id" not in idx.columns:
+            if args.id_col:
+                idx = with_record_id(idx, existing=args.id_col)
+            elif args.natural_key:
+                idx = with_record_id(idx, natural_key=args.natural_key,
+                                     salt=args.id_salt)
+            else:
+                idx = with_record_id(idx, order_cols=list(args.columns))
+        sh = SparkSemHash(cfg, mode=args.mode).fit(idx)
+        res = sh.deduplicate(df, broadcast_query=args.broadcast_query)
+    else:
+        res = self_deduplicate(df, cfg, mode=args.mode, checkpointer=ck,
+                               extra_edges=extra)
     res.selected.write.mode("overwrite").parquet(os.path.join(args.output, "selected"))
     res.filtered.write.mode("overwrite").parquet(os.path.join(args.output, "filtered"))
     res.stats_df().write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
