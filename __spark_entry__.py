@@ -303,6 +303,22 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+def q_containment_pairs_winnow(spark, sf_dir):
+    # J5 with TRUE winnowing anchors (min hash per sliding window,
+    # SIGMOD'03) instead of 0-mod-p sampling: every doc contributes
+    # >= 1 anchor, so candidate recall is complete and the edges
+    # hash-match the same all-pairs containment oracle
+    feats = _doc_feats(spark, sf_dir)
+    cfg = DedupConfig(containment_threshold=0.9, anchor_policy="winnow",
+                      winnow_window=8)
+    edges = containment_edges(feats, cfg, "record_id")
+    return edges.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("score", 6).alias("containment"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     # F5: simhash banding + hamming filter, VALUE-HASH checkable:
     # shingle hashes come from sha256 (60-bit prefix) instead of
@@ -552,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "fingerprint": q_fingerprint,
         "containment_pairs": q_containment_pairs,
+        "containment_pairs_winnow": q_containment_pairs_winnow,
         "cross_dedup_jaccard": q_cross_dedup_jaccard,
         "rethreshold_selected": q_rethreshold_selected,
         "least_similar": q_least_similar,
@@ -975,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "containment_pairs": _CONTAINMENT_SQL,
+        "containment_pairs_winnow": _CONTAINMENT_SQL,
         "cross_dedup_jaccard": _CROSS_JACCARD_SQL,
         "rethreshold_selected": _RETHRESHOLD_SQL,
         "least_similar": _LEAST_SIMILAR_SQL,

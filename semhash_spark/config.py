@@ -76,6 +76,11 @@ class DedupConfig:
     # --- containment (substring) stage ---
     containment_threshold: float = 0.9
     anchor_mod: int = 8  # keep shingle hashes where h % anchor_mod == 0
+    # "mod" (0-mod-p sampling) or "winnow" (true SIGMOD'03 winnowing:
+    # min hash per sliding window — every doc contributes >= 1 anchor,
+    # closing the mod policy's zero-anchor recall hole on short docs)
+    anchor_policy: str = "mod"
+    winnow_window: int = 8
 
     # --- execution ---
     checkpoint_dir: str | None = None
@@ -88,6 +93,8 @@ class DedupConfig:
             raise ValueError("threshold must be in [0, 1]")
         if self.minhash_family not in ("kperm", "oph"):
             raise ValueError("minhash_family must be 'kperm' or 'oph'")
+        if self.anchor_policy not in ("mod", "winnow"):
+            raise ValueError("anchor_policy must be 'mod' or 'winnow'")
         if self.minhash_family == "oph" and self.num_perm & (self.num_perm - 1):
             raise ValueError("minhash_family='oph' needs a power-of-two num_perm")
 

@@ -36,12 +36,46 @@ def anchor_table(
     shingle_col: str = "shingles",
     anchor_mod: int = 8,
     id_col: str = "record_id",
+    policy: str = "mod",
+    window: int = 8,
 ) -> DataFrame:
     """(record_id, band_idx=0, band_hash=anchor) rows for each anchor
-    shingle hash. Reuses the LSH bucket machinery for skew caps."""
-    anchors = F.filter(
-        F.col(shingle_col), lambda h: h % anchor_mod == F.lit(0)
-    )
+    shingle hash. Reuses the LSH bucket machinery for skew caps.
+
+    Policies (both from Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+
+    * ``mod`` — 0-mod-p sampling: anchor iff ``h % anchor_mod == 0``.
+      Expected density 1/p but NO lower bound: a short document whose
+      few shingle hashes all miss the residue gets ZERO anchors and
+      silently drops out of containment detection.
+    * ``winnow`` — true winnowing: the minimum hash of every
+      ``window`` consecutive shingles is selected, so EVERY document
+      (and every shared run of ``window + k - 1`` tokens) contributes
+      at least one anchor — the paper's guarantee threshold. Same
+      expected density ~2/(window+1), strictly better worst case.
+      Pure JVM higher-order expressions (array_min over slices) —
+      O(len * window) per row, no Python.
+    """
+    if policy == "winnow":
+        g = F.col(shingle_col)
+        win = F.when(
+            F.size(g) <= window,
+            F.array(F.array_min(g)),
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(g) - window),
+                    lambda i: F.array_min(F.slice(g, i + 1, window)),
+                )
+            )
+        )
+        anchors = F.filter(win, lambda h: h.isNotNull())
+    elif policy == "mod":
+        anchors = F.filter(
+            F.col(shingle_col), lambda h: h % anchor_mod == F.lit(0)
+        )
+    else:
+        raise ValueError(f"unknown anchor policy {policy!r}; 'mod' or 'winnow'")
     return feats.select(
         F.col(id_col),
         F.lit(0).alias("band_idx"),
@@ -63,7 +97,11 @@ def containment_edges(
     Output is symmetric-ready for the CC edge union: (a, b, score)
     with a < b (ids), score = containment ratio of the smaller set.
     """
-    at = anchor_table(feats, "shingles", cfg.anchor_mod, id_col)
+    at = anchor_table(
+        feats, "shingles", cfg.anchor_mod, id_col,
+        policy=getattr(cfg, "anchor_policy", "mod"),
+        window=getattr(cfg, "winnow_window", 8),
+    )
     cands = candidate_pairs_self(at, cfg.bucket_cap, id_col)
 
     from semhash_spark.operators.verify import containment_score

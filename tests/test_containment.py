@@ -112,3 +112,55 @@ def test_lcs_hash_kernel_big_documents():
     mutated = frag[:2000] + "# CHANGED\n" + frag[2000:]
     assert _lcs_len_hash(big, frag) == len(frag)
     assert _lcs_len_hash(big, mutated) == _lcs_len(big, mutated)
+
+
+def test_winnow_policy_finds_planted_fragments(spark):
+    """Winnowing anchors reach the same planted-fragment recall as
+    the mod policy on the synthetic corpus."""
+    n = 1000
+    corpus = generate_corpus(spark, n, partitions=8).persist()
+    feats = corpus.select(
+        "record_id", shingle_hashes("content", 5).alias("shingles")
+    )
+    cfg = DedupConfig(containment_threshold=0.9, anchor_policy="winnow",
+                      winnow_window=8)
+    edges = {(r.a, r.b) for r in containment_edges(feats, cfg, "record_id").collect()}
+    planted = {(min(f, c), max(f, c)) for f, c in truth_containment_pairs(n)}
+    found = {(min(a, b), max(a, b)) for a, b in edges}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.99, (recall, sorted(planted - found)[:5])
+
+
+def test_winnow_never_leaves_a_doc_anchorless(spark):
+    """The mod policy's recall hole: a short doc whose few shingle
+    hashes all miss 0 mod p gets ZERO anchors. Winnowing guarantees
+    >= 1 anchor for every non-empty doc. Find such a doc empirically,
+    then assert the contrast."""
+    from semhash_spark.operators.containment import anchor_table
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "record_id long, text string")
+    feats = df.select("record_id", shingle_hashes("text", 3).alias("shingles")).persist()
+    n_docs = feats.count()
+    mod_ids = {
+        r.record_id
+        for r in anchor_table(feats, "shingles", 8, "record_id", policy="mod")
+        .select("record_id").distinct().collect()
+    }
+    # 3 distinct 3-gram shingles per doc -> P(no 0-mod-8 hash) =
+    # (7/8)^3 ~ 0.67: most docs are anchorless under mod-8
+    assert len(mod_ids) < n_docs, "expected at least one anchorless doc under mod"
+    win_ids = {
+        r.record_id
+        for r in anchor_table(feats, "shingles", 8, "record_id", policy="winnow")
+        .select("record_id").distinct().collect()
+    }
+    assert len(win_ids) == n_docs  # every doc contributes >= 1 anchor
+    feats.unpersist()
+
+
+def test_anchor_policy_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DedupConfig(anchor_policy="nope")
