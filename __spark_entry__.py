@@ -291,6 +291,26 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_hygiene_flags(spark, sf_dir):
+    # corpus-hygiene rule flags (C4/Gopher-style public heuristics,
+    # functions/text.py:hygiene_flags) — one boolean per rule + keep
+    from semhash_spark.functions.text import hygiene_flags
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        hygiene_flags("text").alias("h"),
+    ).select(
+        "doc_id",
+        F.col("h.too_few_tokens").alias("too_few_tokens"),
+        F.col("h.mean_word_too_long").alias("mean_word_too_long"),
+        F.col("h.symbol_heavy").alias("symbol_heavy"),
+        F.col("h.few_distinct_tokens").alias("few_distinct_tokens"),
+        F.col("h.bracket_imbalance").alias("bracket_imbalance"),
+        F.col("h.keep").alias("keep"),
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     # J5: winnowing-anchor containment stage
     feats = _doc_feats(spark, sf_dir)
@@ -567,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_pred": q_lang_pred,
         "fingerprint": q_fingerprint,
+        "hygiene_flags": q_hygiene_flags,
         "containment_pairs": q_containment_pairs,
         "containment_pairs_winnow": q_containment_pairs_winnow,
         "cross_dedup_jaccard": q_cross_dedup_jaccard,
@@ -685,6 +706,40 @@ SELECT doc_id,
   6) AS q
 FROM documents
 """
+
+_HYGIENE_SQL = f"""
+SELECT doc_id,
+  len({_TOKS}) < 5 AS too_few_tokens,
+  (CASE WHEN len({_TOKS}) > 0 THEN
+     list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
+   ELSE 0.0 END) > 14.0 AS mean_word_too_long,
+  (CASE WHEN length(text) > 0 THEN
+     len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text)
+   ELSE 0.0 END) > 0.5 AS symbol_heavy,
+  (CASE WHEN len({_TOKS}) > 0 THEN
+     len(list_distinct(list_transform({_TOKS}, t -> lower(t))))::DOUBLE
+       / len({_TOKS}) < 0.2
+   ELSE TRUE END) AS few_distinct_tokens,
+  abs(len(regexp_extract_all(text, '[\\(\\[\\{{]'))
+      - len(regexp_extract_all(text, '[\\)\\]\\}}]'))) > 10
+    AS bracket_imbalance,
+  NOT (len({_TOKS}) < 5
+    OR (CASE WHEN len({_TOKS}) > 0 THEN
+          list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / len({_TOKS})
+        ELSE 0.0 END) > 14.0
+    OR (CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text)
+        ELSE 0.0 END) > 0.5
+    OR (CASE WHEN len({_TOKS}) > 0 THEN
+          len(list_distinct(list_transform({_TOKS}, t -> lower(t))))::DOUBLE
+            / len({_TOKS}) < 0.2
+        ELSE TRUE END)
+    OR abs(len(regexp_extract_all(text, '[\\(\\[\\{{]'))
+           - len(regexp_extract_all(text, '[\\)\\]\\}}]'))) > 10
+  ) AS keep
+FROM documents
+"""
+
 
 _LANG_MARKERS_SQL = {
     "en": "['the','and','of','to','a','in','is']",
@@ -991,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        "hygiene_flags": _HYGIENE_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
         "containment_pairs_winnow": _CONTAINMENT_SQL,
         "cross_dedup_jaccard": _CROSS_JACCARD_SQL,

@@ -98,3 +98,78 @@ def content_fingerprint(col: str | Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(F.trim(F.regexp_replace(c, r"\s+", " ")), 256)
+
+
+# ------------------------------------------- corpus-hygiene rule flags
+#
+# Boolean per-document filter rules in the style of the public C4
+# (Raffel et al., JMLR 2020 §2.2) and Gopher (Rae et al., 2021,
+# Table A1) cleaning heuristics, re-parameterized for generic text /
+# source code. Each rule is an independent JVM expression returning
+# true when the document VIOLATES the rule (flag = drop candidate),
+# so downstream keeps `WHERE NOT (r1 OR r2 OR ...)` — pushdown-
+# friendly and exactly reproducible in SQL oracles.
+
+def rule_too_few_tokens(col: str | Column, min_tokens: int = 5) -> Column:
+    """Gopher-style minimum document length (word count)."""
+    return token_count(col) < min_tokens
+
+
+def rule_mean_word_too_long(col: str | Column, max_mean: float = 14.0) -> Column:
+    """Gopher: mean word length outside a sane band (long side only;
+    code identifiers run long, so the default is permissive)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    return mean_len > max_mean
+
+
+def rule_symbol_heavy(col: str | Column, max_ratio: float = 0.5) -> Column:
+    """C4/Gopher: symbol-to-character ratio too high (boilerplate,
+    minified/binary-ish content)."""
+    return punct_ratio(col) > max_ratio
+
+
+def rule_few_distinct_tokens(col: str | Column, min_distinct_ratio: float = 0.2) -> Column:
+    """Gopher repetition rule: distinct/total token ratio too low
+    (log spam, generated repetition)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.size(F.array_distinct(F.transform(toks, lambda t: F.lower(t))))
+        .cast("double") / n < min_distinct_ratio,
+    ).otherwise(F.lit(True))
+
+
+def rule_bracket_imbalance(col: str | Column, max_abs: int = 10) -> Column:
+    """Source-code hygiene: grossly unbalanced braces/brackets signal
+    truncated files."""
+    c = F.col(col) if isinstance(col, str) else col
+    open_n = F.regexp_count(c, F.lit(r"[\(\[\{]"))
+    close_n = F.regexp_count(c, F.lit(r"[\)\]\}]"))
+    return F.abs(open_n - close_n) > max_abs
+
+
+def hygiene_flags(col: str | Column) -> Column:
+    """Struct of all rule flags + the combined keep verdict."""
+    return F.struct(
+        rule_too_few_tokens(col).alias("too_few_tokens"),
+        rule_mean_word_too_long(col).alias("mean_word_too_long"),
+        rule_symbol_heavy(col).alias("symbol_heavy"),
+        rule_few_distinct_tokens(col).alias("few_distinct_tokens"),
+        rule_bracket_imbalance(col).alias("bracket_imbalance"),
+        (
+            ~rule_too_few_tokens(col)
+            & ~rule_mean_word_too_long(col)
+            & ~rule_symbol_heavy(col)
+            & ~rule_few_distinct_tokens(col)
+            & ~rule_bracket_imbalance(col)
+        ).alias("keep"),
+    )
