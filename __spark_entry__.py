@@ -612,7 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 _SH3 = f"""
-    CASE WHEN len({_TOKS}) < 3
+    CASE WHEN len({_TOKS}) = 0
+         THEN []::VARCHAR[]
+         WHEN len({_TOKS}) < 3
          THEN [array_to_string({_TOKS}, ' ')]
          ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                              FOR i IN range(1, len(w) - 1)])

@@ -179,12 +179,13 @@ class SparkSemHash:
 
             if self.mode == "minhash":
                 self._idx_bands = band_table(
-                    self._feats, "sig", self.cfg.bands, self.cfg.id_col,
+                    self._feats.where(F.size("shingles") > 0),
+                    "sig", self.cfg.bands, self.cfg.id_col,
                     self.cfg.rows_per_band,
                 ).persist()
             else:
                 self._idx_bands = explode_band_array(
-                    self._feats.withColumn(
+                    self._feats.where(F.size("shingles") > 0).withColumn(
                         "shb", simhash_bands("sim64", self.cfg.simhash_bands)
                     ),
                     "shb",

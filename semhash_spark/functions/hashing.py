@@ -95,11 +95,18 @@ def _word_shingle_hashes(name: str, k: int) -> Column:
     identity == joined-string identity.
     """
     tup = ", ".join(f"th[i + {j}]" for j in range(k))
+    # size(th) = 0 -> EMPTY set, not array(xxhash64(empty)): a
+    # sentinel shingle would make every tokenless document an exact
+    # Jaccard-1.0 "near-dup" of every other (and a mega band bucket at
+    # scale); the reference's zero-vector featurization matches
+    # NOTHING for empty docs, so neither do we. Byte-identical empty
+    # docs still collapse in the exact stage.
     return F.expr(
         f"""
         element_at(transform(array(transform(
             filter(split({name}, '\\\\s+'), t -> t != ''), t -> xxhash64(t))),
-          th -> CASE WHEN size(th) < {k}
+          th -> CASE WHEN size(th) = 0 THEN array()
+             WHEN size(th) < {k}
              THEN array(xxhash64(th))
              ELSE array_distinct(transform(
                     sequence(0, size(th) - {k}),

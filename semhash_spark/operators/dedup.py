@@ -92,10 +92,18 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
 
 def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str) -> DataFrame:
     if mode == "minhash":
-        bt = band_table(feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+        # tokenless docs (empty shingle set -> all-sentinel signature)
+        # can never verify >= threshold, but their IDENTICAL signatures
+        # would co-bucket every such doc into one mega band bucket at
+        # scale — prune them from banding entirely
+        bt = band_table(
+            feats.where(F.size("shingles") > 0),
+            "sig", cfg.bands, id_col, cfg.rows_per_band,
+        )
         return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
     if mode == "simhash":
-        banded = feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands))
+        banded = feats.where(F.size("shingles") > 0).withColumn(
+            "shb", simhash_bands("sim64", cfg.simhash_bands))
         bt = explode_band_array(banded, "shb", id_col)
         pairs = candidate_pairs_self(bt, cfg.bucket_cap, id_col)
         sims = feats.select(id_col, "sim64")
@@ -383,23 +391,27 @@ def deduplicate(
     persisted.append(q_feats)
 
     if mode == "minhash":
-        qb = band_table(q_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+        qb = band_table(q_feats.where(F.size("shingles") > 0),
+                        "sig", cfg.bands, id_col, cfg.rows_per_band)
         ib = (
             index_bands
             if index_bands is not None
-            else band_table(index_feats, "sig", cfg.bands, id_col, cfg.rows_per_band)
+            else band_table(index_feats.where(F.size("shingles") > 0),
+                            "sig", cfg.bands, id_col, cfg.rows_per_band)
         )
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
                                       bucket_cap=cfg.bucket_cap)
     elif mode == "simhash":
         qb = explode_band_array(
-            q_feats.withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)), "shb", id_col
+            q_feats.where(F.size("shingles") > 0)
+            .withColumn("shb", simhash_bands("sim64", cfg.simhash_bands)),
+            "shb", id_col,
         )
         ib = (
             index_bands
             if index_bands is not None
             else explode_band_array(
-                index_feats.withColumn(
+                index_feats.where(F.size("shingles") > 0).withColumn(
                     "shb", simhash_bands("sim64", cfg.simhash_bands)
                 ),
                 "shb",
