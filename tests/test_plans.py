@@ -69,3 +69,28 @@ def test_band_shuffle_carries_ids_and_hashes_only(spark, sf_dir):
         if "Exchange" in ln:
             assert "text" not in ln and "shingles" not in ln and "sig#" not in ln, ln
     feats.unpersist()
+
+
+def test_cross_cap_plan_is_sort_free(spark):
+    """The cross-mode bucket cap must be a pure map-side filter: no
+    Window, no per-bucket Sort anywhere in the candidate plan (a
+    row_number top-cap would put a 10^9-member bucket in one task)."""
+    from semhash_spark.operators.lsh import candidate_pairs_cross
+
+    q = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("band_idx"),
+        (F.col("id") % 7).alias("band_hash"),
+        F.col("id").alias("record_id"),
+    )
+    i = spark.range(500).select(
+        (F.col("id") % 4).cast("int").alias("band_idx"),
+        (F.col("id") % 7).alias("band_hash"),
+        F.col("id").alias("record_id"),
+    )
+    cands = candidate_pairs_cross(q, i, "record_id", bucket_cap=10)
+    plan = _plan(cands)
+    assert "Window" not in plan, plan
+    # the only sorts allowed are SortMergeJoin operator sorts, which
+    # sort within hash-partitioned join partitions — never a
+    # per-bucket global ordering
+    assert "row_number" not in plan
