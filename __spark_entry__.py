@@ -569,6 +569,38 @@ def q_representatives_dpp(spark, sf_dir):
     )
 
 
+def _q_representatives_strategy(spark, sf_dir, strategy):
+    from semhash_spark.operators.rank import find_representative
+
+    emb = _emb(spark, sf_dir)
+    r = rank_by_avg_similarity(emb, emb, 100, exclude_self=True,
+                               id_col="record_id", emb_col="embedding")
+    sel_ids, _, _ = find_representative(
+        r, emb, selection_size=10, diversity=0.5,
+        id_col="record_id", emb_col="embedding", strategy=strategy,
+    )
+    return spark.createDataFrame(
+        [(int(v), i + 1) for i, v in enumerate(sel_ids)], "vec_id long, pos long"
+    )
+
+
+def q_representatives_msd(spark, sf_dir):
+    # R6 Max-Sum-Dispersion strategy; golden from the independent
+    # scalar-loop trace in tools/oracle_goldens.py (non-circular)
+    return _q_representatives_strategy(spark, sf_dir, "msd")
+
+
+def q_representatives_cover(spark, sf_dir):
+    # R6 facility-location COVER strategy; independent golden
+    return _q_representatives_strategy(spark, sf_dir, "cover")
+
+
+def q_representatives_ssd(spark, sf_dir):
+    # R6 sliding-spectrum strategy; independent golden computes the
+    # residual via np.linalg.qr projection, not Gram-Schmidt
+    return _q_representatives_strategy(spark, sf_dir, "ssd")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_selected": q_exact_dedup_selected,
@@ -605,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperplane_cosine_pairs": q_hyperplane_cosine_pairs,
         "representatives": q_representatives,
         "representatives_dpp": q_representatives_dpp,
+        "representatives_msd": q_representatives_msd,
+        "representatives_cover": q_representatives_cover,
+        "representatives_ssd": q_representatives_ssd,
     }
 
 
@@ -967,6 +1002,32 @@ _REP_DPP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM 
     f"({v}, {p})" for v, p in _REP_DPP_GOLDEN
 ) + ") t(vec_id, pos)"
 
+_REP_MSD_GOLDEN = [
+    (254, 1), (350, 2), (443, 3), (161, 4), (73, 5),
+    (436, 6), (499, 7), (318, 8), (460, 9), (221, 10),
+]
+_REP_COVER_GOLDEN = [
+    (254, 1), (53, 2), (443, 3), (150, 4), (256, 5),
+    (436, 6), (101, 7), (39, 8), (477, 9), (7, 10),
+]
+_REP_SSD_GOLDEN = [
+    (254, 1), (436, 2), (53, 3), (69, 4), (195, 5),
+    (282, 6), (445, 7), (464, 8), (379, 9), (442, 10),
+]
+
+
+def _values_sql(rows):
+    return (
+        "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VALUES "
+        + ", ".join(f"({v}, {p})" for v, p in rows)
+        + ") t(vec_id, pos)"
+    )
+
+
+_REP_MSD_GOLDEN_SQL = _values_sql(_REP_MSD_GOLDEN)
+_REP_COVER_GOLDEN_SQL = _values_sql(_REP_COVER_GOLDEN)
+_REP_SSD_GOLDEN_SQL = _values_sql(_REP_SSD_GOLDEN)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1114,4 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_lcs": _LCS_GOLDEN_SQL,
         "representatives": _REP_GOLDEN_SQL,
         "representatives_dpp": _REP_DPP_GOLDEN_SQL,
+        "representatives_msd": _REP_MSD_GOLDEN_SQL,
+        "representatives_cover": _REP_COVER_GOLDEN_SQL,
+        "representatives_ssd": _REP_SSD_GOLDEN_SQL,
     }

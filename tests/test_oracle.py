@@ -137,7 +137,10 @@ def test_pinned_goldens_match_independent_oracle():
     import __spark_entry__ as entrymod
     from tools.oracle_goldens import compute
 
-    lcs, rep, rep_dpp = compute()
+    lcs, reps = compute()
     assert lcs == sorted(tuple(t) for t in entrymod._LCS_GOLDEN)
-    assert rep == [tuple(t) for t in entrymod._REP_GOLDEN]
-    assert rep_dpp == [tuple(t) for t in entrymod._REP_DPP_GOLDEN]
+    assert reps["mmr"] == [tuple(t) for t in entrymod._REP_GOLDEN]
+    assert reps["dpp"] == [tuple(t) for t in entrymod._REP_DPP_GOLDEN]
+    assert reps["msd"] == [tuple(t) for t in entrymod._REP_MSD_GOLDEN]
+    assert reps["cover"] == [tuple(t) for t in entrymod._REP_COVER_GOLDEN]
+    assert reps["ssd"] == [tuple(t) for t in entrymod._REP_SSD_GOLDEN]

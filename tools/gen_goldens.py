@@ -26,26 +26,26 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     from tools.oracle_goldens import compute
 
-    lcs, rep, rep_dpp = compute()
+    lcs, reps = compute()
     print("_LCS_GOLDEN = [")
     for a, b, f in lcs:
         print(f"    ({a}, {b}, {f}),")
     print("]")
-    print("_REP_GOLDEN = [")
-    for v, p in rep:
-        print(f"    ({v}, {p}),")
-    print("]")
-    print("_REP_DPP_GOLDEN = [")
-    for v, p in rep_dpp:
-        print(f"    ({v}, {p}),")
-    print("]")
+    for name, rows in reps.items():
+        print(f"_REP_{name.upper()}_GOLDEN = [")
+        for v, p in rows:
+            print(f"    ({v}, {p}),")
+        print("]")
 
     import __spark_entry__ as entrymod
 
     for name, fresh, pinned in (
         ("_LCS_GOLDEN", lcs, sorted(entrymod._LCS_GOLDEN)),
-        ("_REP_GOLDEN", rep, entrymod._REP_GOLDEN),
-        ("_REP_DPP_GOLDEN", rep_dpp, entrymod._REP_DPP_GOLDEN),
+        ("_REP_GOLDEN (mmr)", reps["mmr"], entrymod._REP_GOLDEN),
+        ("_REP_DPP_GOLDEN", reps["dpp"], entrymod._REP_DPP_GOLDEN),
+        ("_REP_MSD_GOLDEN", reps["msd"], entrymod._REP_MSD_GOLDEN),
+        ("_REP_COVER_GOLDEN", reps["cover"], entrymod._REP_COVER_GOLDEN),
+        ("_REP_SSD_GOLDEN", reps["ssd"], entrymod._REP_SSD_GOLDEN),
     ):
         status = "MATCHES pinned" if list(fresh) == [tuple(t) for t in pinned] else "DIFFERS from pinned — update __spark_entry__.py"
         print(f"# {name}: {status}", file=sys.stderr)

@@ -156,6 +156,82 @@ def mmr_trace(sims: np.ndarray, relevance: np.ndarray, k: int, d: float) -> list
     return selected
 
 
+def msd_trace(sims: np.ndarray, relevance: np.ndarray, k: int, d: float) -> list[int]:
+    """Scalar-loop Max-Sum-Dispersion:
+    score(c) = (1-d)*rel[c] + d*mean_{s in S}(1 - sim(c, s))."""
+    n = len(relevance)
+    k = min(k, n)
+    first = max(range(n), key=lambda c: (relevance[c], -c))
+    selected = [first]
+    while len(selected) < k:
+        best, best_score = None, -math.inf
+        for c in range(n):
+            if c in selected:
+                continue
+            mean_dist = sum(1.0 - float(sims[c, s]) for s in selected) / len(selected)
+            score = (1.0 - d) * float(relevance[c]) + d * mean_dist
+            if score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+    return selected
+
+
+def cover_trace(sims: np.ndarray, relevance: np.ndarray, k: int, d: float) -> list[int]:
+    """Scalar-loop facility-location COVER:
+    cover(x) = max_{s in S} sim(x, s);
+    gain(c) = mean_x max(0, sim(x, c) - cover(x));
+    score(c) = (1-d)*rel[c] + d*gain(c)."""
+    n = len(relevance)
+    k = min(k, n)
+    first = max(range(n), key=lambda c: (relevance[c], -c))
+    selected = [first]
+    cover = [float(sims[x, first]) for x in range(n)]
+    while len(selected) < k:
+        best, best_score = None, -math.inf
+        for c in range(n):
+            if c in selected:
+                continue
+            gain = sum(max(0.0, float(sims[x, c]) - cover[x]) for x in range(n)) / n
+            score = (1.0 - d) * float(relevance[c]) + d * gain
+            if score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+        for x in range(n):
+            cover[x] = max(cover[x], float(sims[x, best]))
+    return selected
+
+
+def ssd_trace(
+    normed: np.ndarray, relevance: np.ndarray, k: int, d: float
+) -> list[int]:
+    """Sliding-Spectrum-Decomposition (full window): the diversity
+    term of c is the residual norm after projecting onto the span of
+    the selected (normalized) vectors — computed here via an
+    orthonormal basis from np.linalg.qr of the selected matrix, NOT
+    iterative Gram-Schmidt, for implementation independence."""
+    n = len(relevance)
+    k = min(k, n)
+    first = max(range(n), key=lambda c: (relevance[c], -c))
+    selected = [first]
+    while len(selected) < k:
+        S = normed[selected]
+        # orthonormal basis of the span (rank-revealing via QR)
+        Q, R = np.linalg.qr(S.T)
+        keep = np.abs(np.diag(R)) > 1e-9
+        Q = Q[:, keep]
+        resid = normed - (normed @ Q) @ Q.T
+        rnorm = np.linalg.norm(resid, axis=1)
+        best, best_score = None, -math.inf
+        for c in range(n):
+            if c in selected:
+                continue
+            score = (1.0 - d) * float(relevance[c]) + d * float(rnorm[c])
+            if score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+    return selected
+
+
 def dpp_trace(sims: np.ndarray, relevance: np.ndarray, k: int, d: float) -> list[int]:
     """Greedy MAP DPP via explicit Schur complement: the marginal
     variance of candidate c given selected S is
@@ -186,7 +262,7 @@ def dpp_trace(sims: np.ndarray, relevance: np.ndarray, k: int, d: float) -> list
     return selected
 
 
-def rep_goldens(emb) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+def rep_goldens(emb) -> dict[str, list[tuple[int, int]]]:
     ids = np.asarray(emb["vec_id"], dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
     ranking = rank_avg_topk(ids, mat, RANK_K)
@@ -197,12 +273,19 @@ def rep_goldens(emb) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
     pos_of = {int(v): i for i, v in enumerate(ids)}
     cmat = mat[[pos_of[int(v)] for v in cand_ids]]
     sims = cosine_matrix(cmat)
-    mmr = mmr_trace(sims, relevance, SELECTION_SIZE, DIVERSITY)
-    dpp = dpp_trace(sims, relevance, SELECTION_SIZE, DIVERSITY)
-    return (
-        [(int(cand_ids[c]), i + 1) for i, c in enumerate(mmr)],
-        [(int(cand_ids[c]), i + 1) for i, c in enumerate(dpp)],
-    )
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    normed = np.divide(cmat, norms, out=np.zeros_like(cmat), where=norms > 0)
+    traces = {
+        "mmr": mmr_trace(sims, relevance, SELECTION_SIZE, DIVERSITY),
+        "dpp": dpp_trace(sims, relevance, SELECTION_SIZE, DIVERSITY),
+        "msd": msd_trace(sims, relevance, SELECTION_SIZE, DIVERSITY),
+        "cover": cover_trace(sims, relevance, SELECTION_SIZE, DIVERSITY),
+        "ssd": ssd_trace(normed, relevance, SELECTION_SIZE, DIVERSITY),
+    }
+    return {
+        name: [(int(cand_ids[c]), i + 1) for i, c in enumerate(sel)]
+        for name, sel in traces.items()
+    }
 
 
 def compute(sf_dir: str = SF_DIR):
@@ -217,24 +300,21 @@ def compute(sf_dir: str = SF_DIR):
         "embedding": emb_t.column("embedding").to_pylist(),
     }
     lcs = lcs_golden(docs)
-    rep, rep_dpp = rep_goldens(emb)
-    return lcs, rep, rep_dpp
+    reps = rep_goldens(emb)
+    return lcs, reps
 
 
 def main() -> None:
-    lcs, rep, rep_dpp = compute()
+    lcs, reps = compute()
     print("_LCS_GOLDEN = [")
     for a, b, f in lcs:
         print(f"    ({a}, {b}, {f}),")
     print("]")
-    print("_REP_GOLDEN = [")
-    for v, p in rep:
-        print(f"    ({v}, {p}),")
-    print("]")
-    print("_REP_DPP_GOLDEN = [")
-    for v, p in rep_dpp:
-        print(f"    ({v}, {p}),")
-    print("]")
+    for name, rows in reps.items():
+        print(f"_REP_{name.upper()}_GOLDEN = [")
+        for v, p in rows:
+            print(f"    ({v}, {p}),")
+        print("]")
 
 
 if __name__ == "__main__":
