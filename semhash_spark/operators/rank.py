@@ -49,6 +49,9 @@ from semhash_spark.functions.vectors import cosine_similarity
 
 # index sides up to this many rows take the broadcast-matmul path
 BROADCAST_TOPK_CAP = 500_000
+# no small-index crossjoin floor: measured 500x500 crossjoin 4.1 s vs
+# 2.5 s packed (the per-pair pandas-UDF cosine loses to the pack's
+# fixed cost even at tiny sizes), 5k x 5k 36 s vs 2.3 s
 
 
 def _topk_crossjoin(

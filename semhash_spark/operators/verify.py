@@ -46,6 +46,12 @@ VERIFY_BROADCAST_MAX_BYTES = 1 << 30
 # byte ceiling for F.broadcast join hints (per-executor JVM hash
 # relation, less forgiving than an mmap'd file)
 JOIN_BROADCAST_MAX_BYTES = 256 << 20
+# ... and below this many bytes the blob machinery's fixed cost
+# (distributed parquet write + per-executor pack, several jobs) costs
+# more than it saves — tiny feature tables take the broadcast-hinted
+# JOIN path instead (measured: the blob pack is a ~1-3 s fixed cost
+# that dominates small-table queries while winning 8x at 100k rows)
+VERIFY_BLOB_MIN_BYTES = 8 << 20
 
 
 def _c(col: str | Column) -> Column:
@@ -747,7 +753,11 @@ def verify_jaccard(
     feats_fit = n_rows <= VERIFY_BROADCAST_CAP and est_bytes <= VERIFY_BROADCAST_MAX_BYTES
     if strategy == "auto":
         extra = set(pairs.columns) - {left, right}
-        strategy = "broadcast" if not extra and feats_fit else "join"
+        strategy = (
+            "broadcast"
+            if not extra and feats_fit and est_bytes >= VERIFY_BLOB_MIN_BYTES
+            else "join"
+        )
     if strategy == "broadcast":
         return _verify_jaccard_broadcast(
             pairs, feats, feat_col, id_col, threshold, left, right
