@@ -989,18 +989,10 @@ _LCS_GOLDEN_SQL = "SELECT a::BIGINT AS a, b::BIGINT AS b, lcs_frac::DOUBLE AS lc
     f"({a}, {b}, {f})" for a, b, f in _LCS_GOLDEN
 ) + ") t(a, b, lcs_frac)"
 
-_REP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VALUES " + ", ".join(
-    f"({v}, {p})" for v, p in _REP_GOLDEN
-) + ") t(vec_id, pos)"
-
 _REP_DPP_GOLDEN = [
     (254, 1), (436, 2), (53, 3), (126, 4), (421, 5),
     (20, 6), (12, 7), (195, 8), (445, 9), (198, 10),
 ]
-
-_REP_DPP_GOLDEN_SQL = "SELECT vec_id::BIGINT AS vec_id, pos::BIGINT AS pos FROM (VALUES " + ", ".join(
-    f"({v}, {p})" for v, p in _REP_DPP_GOLDEN
-) + ") t(vec_id, pos)"
 
 _REP_MSD_GOLDEN = [
     (254, 1), (350, 2), (443, 3), (161, 4), (73, 5),
@@ -1024,6 +1016,8 @@ def _values_sql(rows):
     )
 
 
+_REP_GOLDEN_SQL = _values_sql(_REP_GOLDEN)
+_REP_DPP_GOLDEN_SQL = _values_sql(_REP_DPP_GOLDEN)
 _REP_MSD_GOLDEN_SQL = _values_sql(_REP_MSD_GOLDEN)
 _REP_COVER_GOLDEN_SQL = _values_sql(_REP_COVER_GOLDEN)
 _REP_SSD_GOLDEN_SQL = _values_sql(_REP_SSD_GOLDEN)

@@ -97,6 +97,16 @@ def main() -> None:
 
     t0 = time.time()
     if args.against:
+        # containment feeds extra edges into self-mode CLUSTERING and
+        # the checkpoint stages are the self-pipeline's; neither is
+        # wired for the existential cross path — reject loudly rather
+        # than silently dropping the flags
+        if args.with_containment:
+            p.error("--with-containment applies to self dedup only "
+                    "(cross mode has no clustering to feed edges into)")
+        if args.checkpoint_dir:
+            p.error("--checkpoint-dir is not supported with --against "
+                    "(cross-mode checkpointing is not wired)")
         from semhash_spark.api import SparkSemHash
 
         idx = spark.read.parquet(args.against)

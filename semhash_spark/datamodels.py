@@ -126,7 +126,9 @@ class DedupResult:
             payload = [
                 c
                 for c in self.filtered.columns
-                if c not in (self.id_col, "exemplar_id", "exact", "score")
+                # exact_key is the internal canonical-JSON hash column,
+                # not record payload
+                if c not in (self.id_col, "exemplar_id", "exact", "score", "exact_key")
             ]
             entry = F.struct(
                 F.col(self.id_col).alias("dup_id"), F.col("score"), *payload

@@ -224,8 +224,15 @@ def self_deduplicate(
         VERIFY_BROADCAST_CAP,
         VERIFY_BROADCAST_MAX_BYTES,
         _feat_bytes,
+        blob_transport_available,
         cosine_threshold_edges,
     )
+
+    def _blob_ok(frame):
+        # fused matmul needs the executor-side blob; without transport
+        # (cluster master, no spark.semhash.blobDir) fall through to
+        # the hyperplane-LSH + verify path, which needs none
+        return blob_transport_available(frame.sparkSession)
 
     fused_cap = (
         cfg.cosine_fused_cap if cfg.cosine_fused_cap is not None else VERIFY_BROADCAST_CAP
@@ -236,6 +243,7 @@ def self_deduplicate(
         mode == "cosine"
         and n_feats <= fused_cap
         and feat_bytes <= VERIFY_BROADCAST_MAX_BYTES
+        and _blob_ok(feats)
     ):
         # fused candidates+verify: one broadcast matmul pass emits
         # only passing pairs (no |n|^2 pair materialization)

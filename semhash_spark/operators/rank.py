@@ -180,10 +180,14 @@ def topk_scores(
             _feat_bytes,
         )
 
+        from semhash_spark.operators.verify import blob_transport_available
+
         n_idx, idx_bytes = _feat_bytes(index_feats, emb_col)
         strategy = (
             "broadcast"
-            if n_idx <= BROADCAST_TOPK_CAP and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
+            if n_idx <= BROADCAST_TOPK_CAP
+            and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
+            and blob_transport_available(index_feats.sparkSession)
             else "ivf"
         )
     if strategy == "ivf":

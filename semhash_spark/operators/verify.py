@@ -58,6 +58,20 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def blob_transport_available(spark) -> bool:
+    """True when ``materialize_feats`` CAN ship a feature blob to the
+    executors: local master (driver tempdir + addFile share a
+    filesystem) or a configured shared ``spark.semhash.blobDir``.
+    AUTO strategy choices consult this so a cluster without shared
+    storage falls back to the join/LSH strategies instead of dying in
+    materialize_feats' availability check (the explicit strategies
+    still raise with guidance — an explicit ask should not silently
+    degrade)."""
+    if spark.conf.get("spark.semhash.blobDir", None):
+        return True
+    return spark.conf.get("spark.master", "").startswith("local")
+
+
 def jaccard_similarity(a: str | Column, b: str | Column) -> Column:
     """Exact Jaccard of two array<long> set columns (elements distinct
     within each array, as produced by shingle_hashes).
@@ -274,6 +288,25 @@ def _acquire_pack_lock(lock: str, done: str) -> bool:
             pass
 
 
+def _release_pack_lock(lock: str) -> None:
+    """Unlink ``lock`` only if THIS process still owns it: after a
+    stale-owner reclaim the original (slow but alive) builder must
+    not delete the reclaimer's lock on its own failure path — that
+    would admit a third concurrent builder."""
+    import os
+
+    try:
+        with open(lock) as fh:
+            owner = int(fh.read().strip() or "-1")
+    except (OSError, ValueError):
+        return
+    if owner == os.getpid():
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def _pack_once_per_executor(ref: dict, kind: str, builder):
     """Executor-level pack cache: the FIRST python worker to need the
     blob packs it and writes .npy files next to the fetched parquet
@@ -335,7 +368,7 @@ def _pack_once_per_executor(ref: dict, kind: str, builder):
                     fh.write("ok")
                 os.rename(f"{done}.tmp{pid}", done)
             except BaseException:
-                os.unlink(lock)  # let another worker retry
+                _release_pack_lock(lock)  # let another worker retry
                 raise
             break
         if _time.time() > deadline:
@@ -413,7 +446,7 @@ def _pack_sharded(ref: dict, kind: str, part_builder, finalize_builder):
         try:
             _save(base, builder(*args))
         except BaseException:
-            os.unlink(base + ".lock")  # let another worker retry
+            _release_pack_lock(base + ".lock")  # let another worker retry
             raise
         return True
 
@@ -755,7 +788,10 @@ def verify_jaccard(
         extra = set(pairs.columns) - {left, right}
         strategy = (
             "broadcast"
-            if not extra and feats_fit and est_bytes >= VERIFY_BLOB_MIN_BYTES
+            if not extra
+            and feats_fit
+            and est_bytes >= VERIFY_BLOB_MIN_BYTES
+            and blob_transport_available(feats.sparkSession)
             else "join"
         )
     if strategy == "broadcast":

@@ -144,7 +144,16 @@ def stateful_neardup_stream(
     num_perm = cfg.num_perm
     threshold = cfg.threshold
 
-    feats = add_features(stream_df, cfg, "minhash").select(id_col, "sig")
+    # tokenless records (empty shingle set -> all-sentinel signature)
+    # must not enter banding: their identical signatures would funnel
+    # every empty/whitespace-only record into one hot state bucket per
+    # band AND report est=1.0 false matches — same pruning as the
+    # batch paths (_candidates_self / _build_cross_memos)
+    feats = (
+        add_features(stream_df, cfg, "minhash")
+        .where(F.size("shingles") > 0)
+        .select(id_col, "sig")
+    )
     banded = band_table(
         feats, "sig", cfg.bands, id_col, cfg.rows_per_band, keep=("sig",)
     )

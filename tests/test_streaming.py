@@ -230,3 +230,46 @@ def test_stateful_neardup_stream_state_cap_bounds_bucket(spark):
         assert spark.table(qname).count() == 12 * cfg.bands
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_stream_prunes_tokenless_records(spark):
+    """Whitespace-only/empty records must not enter the band state:
+    their all-sentinel signatures would funnel every tokenless record
+    into one hot bucket per band and report est=1.0 false matches —
+    the streaming mirror of the batch empty-shingle pruning."""
+    import os
+
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.streaming.dedup_stream import (
+        reduce_neardup_verdicts,
+        stateful_neardup_stream,
+    )
+
+    rows = [
+        (0, "   "),
+        (1, "\t\n"),
+        (2, "real tokens here in this lonely document today ok fine"),
+        (3, ""),
+    ]
+    cfg = DedupConfig(columns=("text",), threshold=0.5, shingle_k=3,
+                      num_perm=64, bands=16)
+    tmp = tempfile.mkdtemp(prefix="semhash_emptystream_")
+    try:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(rows, "record_id long, text string") \
+            .coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("record_id long, text string").parquet(src)
+        verdicts = stateful_neardup_stream(stream, cfg)
+        qname = "emptystream_verdicts"
+        q = (verdicts.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        out = spark.table(qname)
+        # tokenless records emit NO verdict rows at all (pruned before
+        # banding); the real doc flows through unmatched
+        ids = {r.record_id for r in out.select("record_id").distinct().collect()}
+        assert ids == {2}
+        red = {r.record_id: r for r in reduce_neardup_verdicts(out).collect()}
+        assert not red[2].is_dup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
