@@ -120,6 +120,11 @@ def connected_components(
     job (VERDICT r2 #4). The numpy propagation tolerates duplicate
     edges, so the probe skips ``distinct``/``localCheckpoint`` too;
     only the distributed star rounds (probe overflow) pay for them.
+    Accepted tradeoff: when the edge set DOES overflow, the probe
+    ships cap+1 rows (~80 MB at the default cap) to the driver and
+    discards them — a one-off cost dwarfed by the distributed rounds
+    that follow, in exchange for the common small-graph case being a
+    single job.
     """
     spark = edges.sparkSession
     base = edges.select(
