@@ -292,7 +292,7 @@ def self_deduplicate(
         ex = ex.persist()
         persisted.append(ex)
     sel = ex.where(F.col("cluster_id") == F.col(id_col)).drop(
-        "cluster_id", "exemplar_id", "is_exact_dup"
+        "cluster_id", "exemplar_id", "is_exact_dup", "exact_key"
     )
 
     # best-neighbor score for each dropped exemplar
@@ -302,7 +302,7 @@ def self_deduplicate(
     best = sym.groupBy(id_col).agg(F.max("score").alias("best_score"))
     sem_filtered = (
         ex.where(F.col("cluster_id") != F.col(id_col))
-        .drop("exemplar_id", "is_exact_dup")
+        .drop("exemplar_id", "is_exact_dup", "exact_key")
         .withColumnRenamed("cluster_id", "exemplar_id")
         .join(best, id_col, "left")
         .withColumn("score", F.coalesce("best_score", F.lit(1.0)))
@@ -310,7 +310,7 @@ def self_deduplicate(
         .withColumn("exact", F.lit(False))
     )
     exact_filtered = (
-        exact_dups.drop("cluster_id", "is_exact_dup")
+        exact_dups.drop("cluster_id", "is_exact_dup", "exact_key")
         .withColumn("score", F.lit(1.0))
         .withColumn("exact", F.lit(True))
     )
@@ -466,14 +466,15 @@ def deduplicate(
     )
     sem_filtered = (
         kept.join(best, kept[id_col] == best["query_id"], "inner")
-        .drop("query_id")
+        .drop("query_id", "exact_key")
         .withColumn("exact", F.lit(False))
     )
     selected = kept.join(hits.select("query_id").distinct(),
-                         kept[id_col] == F.col("query_id"), "left_anti")
+                         kept[id_col] == F.col("query_id"), "left_anti").drop("exact_key")
 
     exact_filtered = (
-        exact_dups.withColumn("score", F.lit(1.0)).withColumn("exact", F.lit(True))
+        exact_dups.drop("exact_key")
+        .withColumn("score", F.lit(1.0)).withColumn("exact", F.lit(True))
     )
     filtered = exact_filtered.unionByName(sem_filtered)
 
@@ -499,4 +500,53 @@ def deduplicate(
         columns=tuple(cfg.columns),
         id_col=id_col,
         _persisted=persisted,
+    )
+
+
+def incremental_deduplicate(
+    new_df: DataFrame,
+    selected_df: DataFrame,
+    cfg: DedupConfig,
+    mode: str = "minhash",
+    threshold: float | None = None,
+    index_feats: DataFrame | None = None,
+    broadcast_query: bool = False,
+) -> DedupResult:
+    """Dedup a NEW ingest batch against the pipeline's PRIOR
+    ``selected`` output and then within itself — the production
+    incremental pattern (daily partition lands, dedupe it against
+    everything already kept, then collapse its internal duplicates).
+
+    Two stages, matching the reference's train/test + self semantics:
+
+    1. existential cross dedup: new rows matching anything already
+       selected are filtered (exemplar = the stored row).
+    2. self dedup of the cross survivors: duplicates WITHIN the new
+       batch collapse to their own first-occurrence exemplars.
+
+    Returns one ``DedupResult``: ``selected`` = rows genuinely new,
+    ``filtered``/``pairs`` = the union of both stages (cross hits
+    then intra-batch hits). ``selected_df ∪ result.selected`` is the
+    new cumulative corpus. At scale keep ``selected_df`` bucketed on
+    the id (sources/bucketed.py) so the stage-1 joins co-locate.
+    """
+    cross = deduplicate(
+        new_df, selected_df, cfg, mode, threshold,
+        index_feats=index_feats, broadcast_query=broadcast_query,
+    )
+    survivors = cross.selected
+    intra = self_deduplicate(survivors, cfg, mode, threshold)
+    filtered_cols = intra.filtered.columns
+    combined_filtered = cross.filtered.select(*filtered_cols).unionByName(
+        intra.filtered
+    )
+    combined_pairs = cross.pairs.unionByName(intra.pairs)
+    return DedupResult(
+        selected=intra.selected,
+        filtered=combined_filtered,
+        pairs=combined_pairs,
+        threshold=cross.threshold,
+        columns=tuple(cfg.columns),
+        id_col=cfg.id_col,
+        _persisted=cross._persisted + intra._persisted,
     )

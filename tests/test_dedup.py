@@ -214,3 +214,36 @@ def test_selected_with_duplicates_include_records(spark, cfg):
                 assert set(row.duplicates[0].asDict()) == {"dup_id", "score"}
     finally:
         res.release()
+
+
+def test_incremental_deduplicate(spark, cfg):
+    """Daily-ingest pattern: new batch vs prior selected output, then
+    within-batch collapse; both stages' filtered/pairs merge."""
+    from semhash_spark.operators.dedup import incremental_deduplicate
+
+    prior = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely different words appear in this unrelated text"),
+         (2, "numbers one two three four five six seven eight nine")],
+        "record_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of prior 0
+         (11, "a genuinely fresh document with brand new content words"),
+         (12, "a genuinely fresh document with brand new content word"),  # near-dup of 11
+         (13, "yet another island of content with unique vocabulary")],
+        "record_id long, text string",
+    )
+    res = incremental_deduplicate(new, prior, cfg, mode="jaccard_exact",
+                                  threshold=0.7)
+    try:
+        sel = sorted(r.record_id for r in res.selected.collect())
+        fil = {r.record_id: r.exemplar_id for r in res.filtered.collect()}
+        assert sel == [11, 13]
+        assert fil[10] == 0      # cross stage: matched the stored corpus
+        assert fil[12] == 11     # self stage: matched within the batch
+        # cumulative corpus grows by exactly the genuinely-new rows
+        assert res.selected.count() + len(fil) == 4
+        assert "exact_key" not in [c.lower() for c in res.selected.columns]
+    finally:
+        res.release()
