@@ -52,6 +52,11 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--with-containment", action="store_true",
                    help="also run the winnowing containment stage")
+    p.add_argument("--hygiene", action="store_true",
+                   help="pre-filter the input with the C4/Gopher-style "
+                        "hygiene rules (functions/text.py:hygiene_flags) "
+                        "before dedup; dropped rows land in "
+                        "<output>/hygiene_dropped")
     p.add_argument("--against", default=None,
                    help="parquet path of a reference/index corpus: runs "
                         "CROSS dedup (--input queried against it, "
@@ -62,6 +67,7 @@ def main() -> None:
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from semhash_spark.config import DedupConfig
     from semhash_spark.operators.dedup import self_deduplicate
@@ -84,6 +90,17 @@ def main() -> None:
             df = with_record_id(df, natural_key=args.natural_key, salt=args.id_salt)
         else:
             df = with_record_id(df, order_cols=list(args.columns))
+
+    n_hygiene_dropped = 0
+    if args.hygiene:
+        from semhash_spark.functions.text import hygiene_flags
+
+        flagged = df.withColumn("_h", hygiene_flags(args.columns[0]))
+        dropped = flagged.where(~F.col("_h.keep"))
+        dropped.write.mode("overwrite").parquet(
+            os.path.join(args.output, "hygiene_dropped"))
+        n_hygiene_dropped = dropped.count()
+        df = flagged.where(F.col("_h.keep")).drop("_h")
 
     ck = CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
     extra = None
@@ -129,6 +146,7 @@ def main() -> None:
     n_sel, n_fil, n_exact = res.counts()
     print(json.dumps({
         "n_selected": n_sel, "n_filtered": n_fil, "n_exact": n_exact,
+        "n_hygiene_dropped": n_hygiene_dropped,
         "seconds": round(time.time() - t0, 2),
         "files_per_sec": round((n_sel + n_fil) / max(time.time() - t0, 1e-9), 1),
     }))
