@@ -212,6 +212,31 @@ class SparkSemHash:
             index_bands=self._idx_bands,
         )
 
+    def incremental(
+        self,
+        new_df: DataFrame,
+        threshold: float | None = None,
+        broadcast_query: bool = False,
+    ) -> DedupResult:
+        """Daily-ingest dedup against THIS fitted corpus: existential
+        cross dedup of ``new_df`` vs the fitted rows (reusing the
+        cached key/band memos), then self dedup within the survivors.
+        ``result.selected`` are the genuinely-new rows to append to
+        the stored corpus (operators.dedup.incremental_deduplicate)."""
+        self._require_fit()
+        self._build_cross_memos()
+        return dedup_ops.incremental_deduplicate(
+            new_df,
+            self._df,
+            self.cfg,
+            self.mode,
+            threshold,
+            index_feats=self._feats,
+            broadcast_query=broadcast_query,
+            index_keys=self._idx_keys,
+            index_bands=self._idx_bands,
+        )
+
     # ----------------------------------------------------- rank-based
     def _embedding_feats(self) -> DataFrame:
         cfg = self.cfg

@@ -511,6 +511,8 @@ def incremental_deduplicate(
     threshold: float | None = None,
     index_feats: DataFrame | None = None,
     broadcast_query: bool = False,
+    index_keys: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
 ) -> DedupResult:
     """Dedup a NEW ingest batch against the pipeline's PRIOR
     ``selected`` output and then within itself — the production
@@ -533,6 +535,7 @@ def incremental_deduplicate(
     cross = deduplicate(
         new_df, selected_df, cfg, mode, threshold,
         index_feats=index_feats, broadcast_query=broadcast_query,
+        index_keys=index_keys, index_bands=index_bands,
     )
     survivors = cross.selected
     intra = self_deduplicate(survivors, cfg, mode, threshold)
