@@ -205,26 +205,47 @@ def q_cosine_dedup_clusters(spark, sf_dir):
     )
 
 
+def _emb_cross_split(spark, sf_dir):
+    emb = _emb(spark, sf_dir).withColumn(
+        "record_id", F.col("vec_id").cast("long")
+    ).withColumn("vstr", F.col("vec_id").cast("string"))
+    return emb.where("vec_id % 5 = 0"), emb.where("vec_id % 5 != 0")
+
+
 def q_cross_dedup_cosine_selected(spark, sf_dir):
-    # D1: existential anti-join split (query = vec_id % 5 == 0)
-    emb = _emb(spark, sf_dir)
-    q = emb.where("vec_id % 5 = 0").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+    # D1 cosine through the LIBRARY path (r3 #1: no more inline
+    # crossJoin): the index fits the blob caps at this SF so
+    # deduplicate() takes the FUSED index-blob + streamed-query
+    # matmul — exhaustive, so the exact-SQL oracle stays valid, and
+    # the executed plan carries no CartesianProduct (plan-asserted in
+    # tests/test_cross_cosine.py).
+    from semhash_spark.operators.dedup import deduplicate as _cross_dedup
+
+    q, i = _emb_cross_split(spark, sf_dir)
+    cfg = DedupConfig(columns=("vstr",), threshold=COSINE_T, embedding_col="embedding")
+    res = _cross_dedup(q, i, cfg, mode="cosine")
+    return res.selected.select(F.col("record_id").cast("long").alias("vec_id"))
+
+
+def q_cross_dedup_cosine_lsh(spark, sf_dir):
+    # D1 cosine with the AT-SCALE plan FORCED (cosine_fused_cap=0):
+    # random-hyperplane banding on both sides -> skew-capped bucket
+    # join -> exact cosine verify. Probabilistic recall, so the
+    # oracle (_cross_hyperplane_sql) inlines the same seeded Gaussian
+    # matrix and reproduces banding + verification independently in
+    # DuckDB — a full value-hash check of the LSH path itself.
+    from semhash_spark.operators.dedup import deduplicate as _cross_dedup
+
+    q, i = _emb_cross_split(spark, sf_dir)
+    cfg = DedupConfig(
+        columns=("vstr",), threshold=COSINE_T, embedding_col="embedding",
+        cosine_fused_cap=0, hyperplane_bits=64, hyperplane_bands=16,
+        bucket_cap=1_000_000,  # keep the consistent-sampling thinning
+        # out of this query so the oracle stays exactly reproducible;
+        # the cap behavior itself is stress-tested in tests/test_skew.py
     )
-    i = emb.where("vec_id % 5 != 0").select(
-        F.col("vec_id").alias("index_id"), F.col("embedding").alias("_ie")
-    )
-    hits = (
-        q.crossJoin(i)
-        .withColumn("score", cosine_similarity("_qe", "_ie"))
-        .where(F.col("score") >= COSINE_T)
-        .select("query_id")
-        .distinct()
-    )
-    return (
-        q.join(hits, "query_id", "left_anti")
-        .select(F.col("query_id").cast("long").alias("vec_id"))
-    )
+    res = _cross_dedup(q, i, cfg, mode="cosine")
+    return res.selected.select(F.col("record_id").cast("long").alias("vec_id"))
 
 
 def q_knn_top10(spark, sf_dir):
@@ -612,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selfdedup_stats": q_selfdedup_stats,
         "cosine_dedup_clusters": q_cosine_dedup_clusters,
         "cross_dedup_cosine_selected": q_cross_dedup_cosine_selected,
+        "cross_dedup_cosine_lsh": q_cross_dedup_cosine_lsh,
         "knn_top10": q_knn_top10,
         "rank_avg_top100": q_rank_avg_top100,
         "outliers_pct10": q_outliers_pct10,
@@ -915,13 +937,12 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
 
 
-def _hyperplane_sql() -> str:
-    """Random-hyperplane LSH + exact-cosine verify, reproduced in SQL
-    by INLINING the seeded Gaussian matrix (same PCG64(42) family as
-    functions/vectors.hyperplane_bands) — the full candidate
-    generation (sign bits -> salted band words -> band-equality join)
-    and verification run independently in DuckDB, giving the LSH
-    cosine path a value-hash oracle instead of rows-only."""
+def _hyperplane_band_cte() -> str:
+    """Shared hyperplane-banding CTE chain: inlines the seeded
+    Gaussian matrix (same PCG64(42) family as
+    functions/vectors.hyperplane_bands) and ends with
+    ``bw(vec_id, word, band)`` — sign bits -> salted band words,
+    reproduced independently in DuckDB."""
     import numpy as np
 
     bits, bands, seed, dim = 64, 16, 42, 64
@@ -947,7 +968,15 @@ words AS (
            FOR b IN range(0, {bands}) ] AS w
   FROM bitsv
 ),
-bw AS (SELECT vec_id, unnest(w) AS word, unnest(range(0, {bands})) AS band FROM words),
+bw AS (SELECT vec_id, unnest(w) AS word, unnest(range(0, {bands})) AS band FROM words)"""
+
+
+def _hyperplane_sql() -> str:
+    """Random-hyperplane LSH + exact-cosine verify (SELF mode): full
+    candidate generation (band-equality self-join) and verification
+    run independently in DuckDB, giving the LSH cosine path a
+    value-hash oracle instead of rows-only."""
+    return _hyperplane_band_cte() + f""",
 cand AS (
   SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
   FROM bw a JOIN bw b ON a.band = b.band AND a.word = b.word AND a.vec_id < b.vec_id
@@ -956,6 +985,27 @@ SELECT i AS a, j AS b,
        round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS score
 FROM cand JOIN embeddings x ON x.vec_id = cand.i JOIN embeddings y ON y.vec_id = cand.j
 WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {COSINE_T}
+"""
+
+
+def _cross_hyperplane_sql() -> str:
+    """CROSS-mode LSH existential dedup oracle: a query row
+    (vec_id % 5 = 0) is filtered iff it shares >= 1 hyperplane band
+    word with an index row (vec_id % 5 != 0) whose exact cosine is
+    >= θ; ``selected`` = the rest. Mirrors
+    deduplicate(mode="cosine", cosine_fused_cap=0) with the skew cap
+    disabled (bucket_cap large in the query config)."""
+    return _hyperplane_band_cte() + f""",
+hit AS (
+  SELECT DISTINCT a.vec_id AS qid
+  FROM bw a JOIN bw b ON a.band = b.band AND a.word = b.word
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id
+  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+    AND list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {COSINE_T}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT qid FROM hit)
 """
 
 
@@ -1069,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
                 AND list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]) >= {COSINE_T})
         """,
+        "cross_dedup_cosine_lsh": _cross_hyperplane_sql(),
         "knn_top10": """
             SELECT q AS query_id, n AS index_id, rk FROM (
               SELECT a.vec_id AS q, b.vec_id AS n,

@@ -173,7 +173,7 @@ class SparkSemHash:
             self._idx_keys = index_key_table(
                 self._df, self.cfg.columns, self.cfg.id_col
             ).persist()
-        if self._idx_bands is None and self.mode in ("minhash", "simhash"):
+        if self._idx_bands is None and self.mode in ("minhash", "simhash", "cosine"):
             from semhash_spark.functions.hashing import simhash_bands
             from semhash_spark.operators.lsh import band_table, explode_band_array
 
@@ -183,7 +183,7 @@ class SparkSemHash:
                     "sig", self.cfg.bands, self.cfg.id_col,
                     self.cfg.rows_per_band,
                 ).persist()
-            else:
+            elif self.mode == "simhash":
                 self._idx_bands = explode_band_array(
                     self._feats.where(F.size("shingles") > 0).withColumn(
                         "shb", simhash_bands("sim64", self.cfg.simhash_bands)
@@ -191,6 +191,41 @@ class SparkSemHash:
                     "shb",
                     self.cfg.id_col,
                 ).persist()
+            else:
+                # cosine: memoize the hyperplane band table only when
+                # deduplicate() will actually take the LSH path (the
+                # fused blob path below the caps never reads bands)
+                from semhash_spark.functions.vectors import hyperplane_bands
+                from semhash_spark.operators.verify import (
+                    VERIFY_BROADCAST_CAP,
+                    VERIFY_BROADCAST_MAX_BYTES,
+                    _feat_bytes,
+                    blob_transport_available,
+                )
+
+                cfg = self.cfg
+                fused_cap = (
+                    cfg.cosine_fused_cap
+                    if cfg.cosine_fused_cap is not None
+                    else VERIFY_BROADCAST_CAP
+                )
+                n_idx, idx_bytes = _feat_bytes(self._feats, cfg.embedding_col)
+                if not (
+                    n_idx <= fused_cap
+                    and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
+                    and blob_transport_available(self._feats.sparkSession)
+                ):
+                    banded = self._feats.withColumn(
+                        "hpb",
+                        hyperplane_bands(
+                            cfg.embedding_col, cfg.hyperplane_bits,
+                            cfg.hyperplane_bands, cfg.hyperplane_seed,
+                            cfg.embedding_dim,
+                        ),
+                    )
+                    self._idx_bands = explode_band_array(
+                        banded, "hpb", cfg.id_col
+                    ).persist()
 
     def deduplicate(
         self,

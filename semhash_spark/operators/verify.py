@@ -862,6 +862,63 @@ def cosine_threshold_edges(
     )
 
 
+def cosine_cross_threshold_edges(
+    query_feats: DataFrame,
+    index_feats: DataFrame,
+    threshold: float,
+    id_col: str = "record_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """All cross pairs (query_id, index_id, score >= threshold) —
+    fused candidate generation + verification for the CROSS shape.
+
+    The INDEX embeddings are materialized as an executor-side blob
+    (distributed parquet write, mmap'd float64 matrix per worker) and
+    the QUERY side streams through ``mapInPandas``: each Arrow batch
+    computes one |batch| x |index| matmul and emits only the passing
+    pairs. This is exactly the reference benchmark shape (a 4.3k-row
+    test split scored against a 1.8M-row fitted index,
+    benchmarks/README.md:43-61): the index pays one blob build per
+    fit, every query batch pays only its own matmul — no shuffle of
+    the index, no |Q| x |I| pair materialization, no cartesian in the
+    plan. Right whenever the index matrix fits executor memory
+    (VERIFY_BROADCAST_CAP rows / _MAX_BYTES); above that, hyperplane
+    LSH candidates + verify_cosine (operators/dedup.py:deduplicate).
+    Zero-norm / NULL rows on either side never pair (NULL-cosine
+    semantics, matching ``cosine_similarity``).
+    """
+    ref = materialize_feats(index_feats, id_col, emb_col, "crossedges")
+    thr = float(threshold)
+
+    def edges(batches):
+        ids_i, mat, nrm = load_feats_matrix(ref)
+        for pdf_b in batches:
+            if len(pdf_b) == 0 or len(ids_i) == 0:
+                continue
+            nn = pdf_b[emb_col].notna()
+            if not nn.all():
+                pdf_b = pdf_b[nn]
+                if len(pdf_b) == 0:
+                    continue
+            q_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
+            q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
+            qn = np.linalg.norm(q, axis=1)
+            den = qn[:, None] * nrm[None, :]
+            num = q @ mat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(den > 0, num / den, np.nan)
+            mask = s >= thr  # NaN >= thr is False: zero-norm drops
+            r, c = np.nonzero(mask)
+            if len(r):
+                yield pd.DataFrame(
+                    {"query_id": q_ids[r], "index_id": ids_i[c], "score": s[r, c]}
+                )
+
+    return query_feats.select(id_col, emb_col).mapInPandas(
+        edges, "query_id long, index_id long, score double"
+    )
+
+
 def verify_cosine(
     pairs: DataFrame,
     feats: DataFrame,
