@@ -55,11 +55,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- helpers
 
 
+_PERSISTED: list = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """persist() + remember for release_caches() (VERDICT r3 #5: the
+    harness used to leak its persisted frames for the session
+    lifetime). Spark's CacheManager keys on the analyzed plan, so
+    repeated calls with the same plan share one cache entry."""
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every frame/result the query helpers cached; queries
+    recompute on next use. Call after a queries() sweep."""
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    for res in _SELFDEDUP_CACHE.values():
+        try:
+            res.release()
+        except Exception:
+            pass
+    _SELFDEDUP_CACHE.clear()
+    for res in _RESULTS:
+        try:
+            res.release()
+        except Exception:
+            pass
+    _RESULTS.clear()
+
+
+_RESULTS: list = []
+
+
+def _keep(res):
+    """Track an inline DedupResult/FilterResult so release_caches()
+    drops its internal persisted stages after the driver sweep."""
+    _RESULTS.append(res)
+    return res
+
+
 def _doc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    return _track(
         _documents(spark, sf_dir)
         .select("record_id", shingle_hashes("text", 3).alias("shingles"))
-        .persist()
     )
 
 
@@ -123,12 +168,12 @@ def q_jaccard3_pairs(spark, sf_dir):
     docs = _documents(spark, sf_dir).select(
         "record_id", shingle_hashes("text", 3).alias("shingles")
     )
-    sigs = docs.select(
+    sigs = _track(docs.select(
         "record_id", "shingles",
         minhash_signature("shingles", DOC_CFG.num_perm).alias("sig"),
-    ).persist()
+    ))
     bt = band_table(sigs, "sig", DOC_CFG.bands, "record_id")
-    cands = candidate_pairs_self(bt, DOC_CFG.bucket_cap, "record_id")
+    cands = candidate_pairs_self(bt, DOC_CFG.bucket_cap, "record_id", _PERSISTED)
     verified = verify_jaccard(cands, sigs, "shingles", "record_id", JACCARD_T)
     return verified.select(
         F.col("a").cast("long").alias("a"),
@@ -160,9 +205,9 @@ def q_selfdedup_clusters_oph(spark, sf_dir):
     # recall is complete (it is at this SF; the planted-recall bar is
     # tests/test_oph.py)
     docs = _documents(spark, sf_dir)
-    res = self_deduplicate(
+    res = _keep(self_deduplicate(
         docs, DOC_CFG.with_(minhash_family="oph"), mode="minhash"
-    )
+    ))
     sel = res.selected.select(
         F.col("record_id").alias("doc_id"), F.col("record_id").alias("cluster_id")
     )
@@ -187,13 +232,13 @@ def q_cosine_dedup_clusters(spark, sf_dir):
     # D2 with cosine metric over precomputed embeddings (S3 path)
     emb = _emb(spark, sf_dir).withColumnRenamed("embedding", "emb")
     cfg = DedupConfig(columns=("vec_id",), threshold=COSINE_T, embedding_col="emb")
-    res = self_deduplicate(
+    res = _keep(self_deduplicate(
         emb.withColumn("vec_id_s", F.col("vec_id").cast("string")).withColumn(
             "emb", F.col("emb")
         ).withColumn("record_id", F.col("vec_id").cast("long")),
         cfg.with_(columns=("vec_id_s",)),
         mode="cosine",
-    )
+    ))
     sel = res.selected.select(
         F.col("record_id").alias("vec_id"), F.col("record_id").alias("cluster_id")
     )
@@ -223,7 +268,7 @@ def q_cross_dedup_cosine_selected(spark, sf_dir):
 
     q, i = _emb_cross_split(spark, sf_dir)
     cfg = DedupConfig(columns=("vstr",), threshold=COSINE_T, embedding_col="embedding")
-    res = _cross_dedup(q, i, cfg, mode="cosine")
+    res = _keep(_cross_dedup(q, i, cfg, mode="cosine"))
     return res.selected.select(F.col("record_id").cast("long").alias("vec_id"))
 
 
@@ -244,7 +289,7 @@ def q_cross_dedup_cosine_lsh(spark, sf_dir):
         # out of this query so the oracle stays exactly reproducible;
         # the cap behavior itself is stress-tested in tests/test_skew.py
     )
-    res = _cross_dedup(q, i, cfg, mode="cosine")
+    res = _keep(_cross_dedup(q, i, cfg, mode="cosine"))
     return res.selected.select(F.col("record_id").cast("long").alias("vec_id"))
 
 
@@ -277,7 +322,7 @@ def q_outliers_pct10(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     r = rank_by_avg_similarity(emb, emb, 100, exclude_self=True,
                                id_col="record_id", emb_col="embedding")
-    _, outl = filter_outliers(r, 0.1)
+    _, outl = filter_outliers(r, 0.1, persisted=_PERSISTED)
     return outl.select(F.col("query_id").cast("long").alias("vec_id"))
 
 
@@ -336,7 +381,7 @@ def q_containment_pairs(spark, sf_dir):
     # J5: winnowing-anchor containment stage
     feats = _doc_feats(spark, sf_dir)
     cfg = DedupConfig(containment_threshold=0.9, anchor_mod=8)
-    edges = containment_edges(feats, cfg, "record_id")
+    edges = containment_edges(feats, cfg, "record_id", persisted=_PERSISTED)
     return edges.select(
         F.col("a").cast("long"),
         F.col("b").cast("long"),
@@ -348,11 +393,20 @@ def q_containment_pairs_winnow(spark, sf_dir):
     # J5 with TRUE winnowing anchors (min hash per sliding window,
     # SIGMOD'03) instead of 0-mod-p sampling: every doc contributes
     # >= 1 anchor, so candidate recall is complete and the edges
-    # hash-match the same all-pairs containment oracle
-    feats = _doc_feats(spark, sf_dir)
+    # hash-match the same all-pairs containment oracle. The
+    # shingles_pos column carries the PRE-distinct positional
+    # sequence, giving the paper's cross-document shared-run anchor
+    # guarantee (ADVICE r3; functions/hashing.shingle_hashes_positional)
+    from semhash_spark.functions.hashing import shingle_hashes_positional
+
+    feats = _documents(spark, sf_dir).select(
+        "record_id",
+        shingle_hashes("text", 3).alias("shingles"),
+        shingle_hashes_positional("text", 3).alias("shingles_pos"),
+    )
     cfg = DedupConfig(containment_threshold=0.9, anchor_policy="winnow",
                       winnow_window=8)
-    edges = containment_edges(feats, cfg, "record_id")
+    edges = containment_edges(feats, cfg, "record_id", persisted=_PERSISTED)
     return edges.select(
         F.col("a").cast("long"),
         F.col("b").cast("long"),
@@ -380,11 +434,11 @@ def q_simhash_pairs(spark, sf_dir):
         F.col("shs"),
         lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long"),
     )
-    feats = docs.select("record_id", hv.alias("shingles")).persist()
-    sims = feats.select("record_id", simhash64("shingles").alias("sim64")).persist()
+    feats = _track(docs.select("record_id", hv.alias("shingles")))
+    sims = _track(feats.select("record_id", simhash64("shingles").alias("sim64")))
     banded = sims.withColumn("shb", simhash_bands("sim64", 4))
     bt = explode_band_array(banded, "shb", "record_id")
-    cands = candidate_pairs_self(bt, 1000, "record_id")
+    cands = candidate_pairs_self(bt, 1000, "record_id", _PERSISTED)
     s = sims
     out = (
         cands.join(s.select(F.col("record_id").alias("a"), F.col("sim64").alias("_sa")), "a")
@@ -405,7 +459,7 @@ def q_cross_dedup_jaccard(spark, sf_dir):
     docs = _documents(spark, sf_dir)
     q = docs.where("doc_id % 5 = 0")
     idx = docs.where("doc_id % 5 != 0")
-    res = deduplicate(q, idx, DOC_CFG, mode="minhash")
+    res = _keep(deduplicate(q, idx, DOC_CFG, mode="minhash"))
     return res.filtered.select(
         F.col("doc_id").cast("long").alias("dup_id"),
         F.col("exemplar_id").cast("long").alias("exemplar_id"),
@@ -488,7 +542,7 @@ def q_hyperplane_cosine_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir).select("record_id", "embedding")
     banded = emb.withColumn("hpb", hyperplane_bands("embedding", 64, 16))
     bt = explode_band_array(banded, "hpb", "record_id")
-    cands = candidate_pairs_self(bt, 1000, "record_id")
+    cands = candidate_pairs_self(bt, 1000, "record_id", _PERSISTED)
     v = verify_cosine(cands, emb, "embedding", "record_id", COSINE_T)
     return v.select(F.col("a").cast("long"), F.col("b").cast("long"),
                     F.round("score", 6).alias("score"))
@@ -535,7 +589,7 @@ def q_outliers_cross_pct20(spark, sf_dir):
     idx = emb.where("vec_id >= 100")
     r = rank_by_avg_similarity(q, idx, 100, exclude_self=False,
                                id_col="record_id", emb_col="embedding")
-    _, outl = filter_outliers(r, 0.2)
+    _, outl = filter_outliers(r, 0.2, persisted=_PERSISTED)
     return outl.select(F.col("query_id").cast("long").alias("vec_id"))
 
 
@@ -547,7 +601,7 @@ def q_containment_lcs(spark, sf_dir):
     docs = _documents(spark, sf_dir)
     feats = docs.select("record_id", shingle_hashes("text", 3).alias("shingles"))
     cfg = DedupConfig(containment_threshold=0.9, anchor_mod=8)
-    edges = containment_edges(feats, cfg, "record_id")
+    edges = containment_edges(feats, cfg, "record_id", persisted=_PERSISTED)
     out = lcs_confirm(edges, docs, "record_id", "text", min_frac=0.5)
     return out.select(
         F.col("a").cast("long"), F.col("b").cast("long"),

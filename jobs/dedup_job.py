@@ -29,7 +29,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, stop_spark: bool = True) -> dict:
+    """``argv``/``stop_spark`` let tests drive the job path in-process
+    (two successive --incremental batches against one SparkSession);
+    spark-submit uses the defaults. Returns the summary dict it
+    prints."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="parquet/iceberg path of the corpus")
     p.add_argument("--output", required=True, help="output directory")
@@ -52,10 +56,16 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--with-containment", action="store_true",
                    help="also run the winnowing containment stage")
+    p.add_argument("--anchor-policy", default="mod", choices=["mod", "winnow"],
+                   help="containment anchor selection: 0-mod-p sampling or "
+                        "true SIGMOD'03 winnowing (winnow also computes the "
+                        "positional shingle sequence for the strict "
+                        "shared-run guarantee)")
     p.add_argument("--hygiene", action="store_true",
                    help="pre-filter the input with the C4/Gopher-style "
                         "hygiene rules (functions/text.py:hygiene_flags) "
-                        "before dedup; dropped rows land in "
+                        "before dedup; rules are evaluated on the FIRST "
+                        "--columns entry only; dropped rows land in "
                         "<output>/hygiene_dropped")
     p.add_argument("--against", default=None,
                    help="parquet path of a reference/index corpus: runs "
@@ -64,7 +74,19 @@ def main() -> None:
     p.add_argument("--broadcast-query", action="store_true",
                    help="cross mode: broadcast the query band table "
                         "(small query batch vs huge index)")
-    args = p.parse_args()
+    p.add_argument("--incremental", metavar="CORPUS_TABLE",
+                   default=None,
+                   help="incremental ingest: dedup --input against the "
+                        "bucketed catalog table CORPUS_TABLE (the stored "
+                        "cumulative selected corpus), then within itself, "
+                        "and APPEND the genuinely-new rows to the table "
+                        "(sources/bucketed.py — id-bucketed so the cross "
+                        "joins co-locate without an Exchange). First run "
+                        "(table absent) self-dedups the batch and creates "
+                        "the table")
+    p.add_argument("--corpus-buckets", type=int, default=64,
+                   help="bucket count when --incremental creates the table")
+    args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -92,28 +114,71 @@ def main() -> None:
             df = with_record_id(df, order_cols=list(args.columns))
 
     n_hygiene_dropped = 0
+    hygiene_flagged = None
     if args.hygiene:
         from semhash_spark.functions.text import hygiene_flags
 
-        flagged = df.withColumn("_h", hygiene_flags(args.columns[0]))
-        dropped = flagged.where(~F.col("_h.keep"))
+        # rules run on the FIRST --columns entry (see --hygiene help).
+        # persist: the dropped write, the dropped count and the kept-
+        # side dedup are three actions over this frame — without the
+        # cache each would re-evaluate the rule expressions over the
+        # full input (ADVICE r3)
+        hygiene_flagged = df.withColumn(
+            "_h", hygiene_flags(args.columns[0])
+        ).persist()
+        dropped = hygiene_flagged.where(~F.col("_h.keep"))
         dropped.write.mode("overwrite").parquet(
             os.path.join(args.output, "hygiene_dropped"))
-        n_hygiene_dropped = dropped.count()
-        df = flagged.where(F.col("_h.keep")).drop("_h")
+        # count the parquet just written instead of re-running the
+        # dropped-side filter as a third action
+        n_hygiene_dropped = spark.read.parquet(
+            os.path.join(args.output, "hygiene_dropped")).count()
+        df = hygiene_flagged.where(F.col("_h.keep")).drop("_h")
 
     ck = CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
     extra = None
     if args.with_containment:
-        from semhash_spark.functions.hashing import shingle_hashes
+        from semhash_spark.functions.hashing import (
+            shingle_hashes,
+            shingle_hashes_positional,
+        )
         from semhash_spark.operators.containment import containment_edges
 
-        feats = df.select("record_id",
-                          shingle_hashes(args.columns[0], args.shingle_k).alias("shingles"))
-        extra = containment_edges(feats, cfg, "record_id")
+        feat_cols = [
+            F.col("record_id"),
+            shingle_hashes(args.columns[0], args.shingle_k).alias("shingles"),
+        ]
+        if args.anchor_policy == "winnow":
+            feat_cols.append(
+                shingle_hashes_positional(args.columns[0], args.shingle_k)
+                .alias("shingles_pos")
+            )
+        feats = df.select(*feat_cols)
+        extra = containment_edges(
+            feats, cfg.with_(anchor_policy=args.anchor_policy), "record_id"
+        )
 
     t0 = time.time()
-    if args.against:
+    if args.incremental:
+        if args.with_containment or args.checkpoint_dir or args.against:
+            p.error("--incremental is incompatible with --with-containment, "
+                    "--checkpoint-dir and --against")
+        from semhash_spark.operators.dedup import incremental_deduplicate
+        from semhash_spark.sources.bucketed import read_bucketed, write_bucketed
+
+        table = args.incremental
+        corpus_existed = spark.catalog.tableExists(table)
+        if corpus_existed:
+            stored = read_bucketed(spark, table)
+            res = incremental_deduplicate(
+                df, stored, cfg, mode=args.mode,
+                broadcast_query=args.broadcast_query,
+            )
+        else:
+            # first batch: nothing stored yet — plain self dedup seeds
+            # the corpus table
+            res = self_deduplicate(df, cfg, mode=args.mode)
+    elif args.against:
         # containment feeds extra edges into self-mode CLUSTERING and
         # the checkpoint stages are the self-pipeline's; neither is
         # wired for the existential cross path — reject loudly rather
@@ -143,14 +208,45 @@ def main() -> None:
     res.selected.write.mode("overwrite").parquet(os.path.join(args.output, "selected"))
     res.filtered.write.mode("overwrite").parquet(os.path.join(args.output, "filtered"))
     res.stats_df().write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
-    n_sel, n_fil, n_exact = res.counts()
-    print(json.dumps({
+    # counts from the WRITTEN outputs, not the live plan: in
+    # --incremental mode the plan reads the corpus table that the
+    # append below grows, so re-executing res.counts() afterwards
+    # would double-count the batch against its own appended rows
+    sel_out = spark.read.parquet(os.path.join(args.output, "selected"))
+    fil_out = spark.read.parquet(os.path.join(args.output, "filtered"))
+    n_sel = sel_out.count()
+    fil_row = fil_out.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("exact"), 1).otherwise(0)), F.lit(0)).alias("ne"),
+    ).collect()[0]
+    n_fil, n_exact = int(fil_row["n"]), int(fil_row["ne"])
+    if args.incremental:
+        from semhash_spark.sources.bucketed import write_bucketed
+
+        # append the genuinely-new rows; reading them back from the
+        # parquet just written keeps the append's lineage independent
+        # of the corpus table the dedup plan read from. Same bucket
+        # spec as the existing table so the next batch's cross joins
+        # stay Exchange-free on the stored side.
+        new_rows = spark.read.parquet(
+            os.path.join(args.output, "selected")).select(*df.columns)
+        write_bucketed(
+            new_rows, args.incremental, buckets=args.corpus_buckets,
+            mode="append" if corpus_existed else "overwrite",
+        )
+    summary = {
         "n_selected": n_sel, "n_filtered": n_fil, "n_exact": n_exact,
         "n_hygiene_dropped": n_hygiene_dropped,
         "seconds": round(time.time() - t0, 2),
         "files_per_sec": round((n_sel + n_fil) / max(time.time() - t0, 1e-9), 1),
-    }))
-    spark.stop()
+    }
+    print(json.dumps(summary))
+    res.release()
+    if hygiene_flagged is not None:
+        hygiene_flagged.unpersist()
+    if stop_spark:
+        spark.stop()
+    return summary
 
 
 if __name__ == "__main__":

@@ -133,17 +133,32 @@ class DedupResult:
             entry = F.struct(
                 F.col(self.id_col).alias("dup_id"), F.col("score"), *payload
             )
+            # order + dedup must depend on (dup_id, score) ONLY, never
+            # on payload values (ADVICE r3: sort_array/array_distinct
+            # over the payload struct fails at analysis for unorderable
+            # payload types like map, and makes limit_per_group
+            # truncate a different row set than the records=False
+            # view). Dedup row-wise by dup_id before aggregating;
+            # order with an explicit (dup_id, score) comparator.
+            src = self.filtered.dropDuplicates([self.id_col])
+
+            def _cmp(l, r):  # noqa: E741 - l/r mirror Spark's docs
+                return (
+                    F.when(l["dup_id"] < r["dup_id"], -1)
+                    .when(l["dup_id"] > r["dup_id"], 1)
+                    .when(l["score"] < r["score"], -1)
+                    .when(l["score"] > r["score"], 1)
+                    .otherwise(0)
+                )
+
+            bucket = F.array_sort(F.collect_list(entry), _cmp)
         else:
+            src = self.filtered
             entry = F.struct(F.col(self.id_col).alias("dup_id"), F.col("score"))
+            bucket = F.array_distinct(F.sort_array(F.collect_list(entry)))
         grouped = (
-            self.filtered.groupBy("exemplar_id")
-            .agg(
-                F.slice(
-                    F.array_distinct(F.sort_array(F.collect_list(entry))),
-                    1,
-                    limit_per_group,
-                ).alias("duplicates")
-            )
+            src.groupBy("exemplar_id")
+            .agg(F.slice(bucket, 1, limit_per_group).alias("duplicates"))
         )
         return self.selected.join(
             grouped, self.selected[self.id_col] == grouped["exemplar_id"], "left"

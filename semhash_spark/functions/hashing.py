@@ -130,6 +130,54 @@ def shingle_hashes(col: str, k: int, mode: str = "word") -> Column:
     return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
+def shingle_hashes_positional(col: str, k: int, mode: str = "word") -> Column:
+    """POSITIONAL k-gram shingle hashes — one entry per shingle
+    OCCURRENCE, document order preserved, duplicates kept.
+
+    The winnowing anchor stage (operators/containment.py) needs the
+    pre-distinct sequence: SIGMOD'03's cross-document guarantee
+    ("every shared run of window+k-1 tokens contributes a common
+    anchor") holds only when both documents slide their window over
+    the same positional subsequence — distinct-collapsing shifts
+    window contents wherever a shingle repeated earlier, and the two
+    documents can then pick disjoint anchors for the same shared run
+    (ADVICE r3). Jaccard/MinHash stages keep using the distinct form.
+    """
+    if mode == "word":
+        if not isinstance(col, str):
+            raise ValueError("shingle_hashes_positional needs a column name")
+        tup = ", ".join(f"th[i + {j}]" for j in range(k))
+        return F.expr(
+            f"""
+            element_at(transform(array(transform(
+                filter(split({col}, '\\\\s+'), t -> t != ''), t -> xxhash64(t))),
+              th -> CASE WHEN size(th) = 0 THEN array()
+                 WHEN size(th) < {k}
+                 THEN array(xxhash64(th))
+                 ELSE transform(
+                        sequence(0, size(th) - {k}),
+                        i -> xxhash64({tup}))
+              END), 1)
+            """
+        )
+    if mode == "char":
+        name = col if isinstance(col, str) else None
+        if name is None:
+            raise ValueError("shingle_hashes_positional needs a column name")
+        return F.expr(
+            f"""
+            element_at(transform(array({name}), s ->
+              CASE WHEN length(s) < {k}
+                 THEN array(xxhash64(s))
+                 ELSE transform(
+                        sequence(1, length(s) - {k} + 1),
+                        i -> xxhash64(substring(s, i, {k})))
+              END), 1)
+            """
+        )
+    raise ValueError(f"unknown shingle mode {mode!r}")
+
+
 _LONG_MAX = 9223372036854775807
 _MINHASH_SEED = 0x5EED5EED
 

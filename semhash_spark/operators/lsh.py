@@ -125,17 +125,28 @@ def explode_band_array(
 
 
 def candidate_pairs_self(
-    bands_df: DataFrame, bucket_cap: int = 1000, id_col: str = "record_id"
+    bands_df: DataFrame,
+    bucket_cap: int = 1000,
+    id_col: str = "record_id",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from a band table.
 
     Small buckets -> all pairs; oversized buckets -> star edges to
     the bucket min-id (skew guard, see module docstring).
+
+    ``persisted``: pass a list to receive the two frames this
+    operator caches (band table, annotated buckets) so the caller can
+    unpersist them when the result is consumed — without it they stay
+    cached for the session lifetime (the r3 harness-leak sweep traced
+    its leaked RDDs here).
     """
     # the band table feeds the sizes agg, the annotate join, and both
     # sides of the pair self-join — cache it (ids + hashes only) so
     # the upstream signature stage runs once, not 4x
     bands_df = bands_df.persist()
+    if persisted is not None:
+        persisted.append(bands_df)
     # keep only buckets that can pair (n > 1) BEFORE joining back:
     # the overwhelming majority of buckets are singletons, so this
     # turns the annotate join from a 1:1 SMJ over the whole band
@@ -147,6 +158,8 @@ def candidate_pairs_self(
         .where(F.col("bucket_n") > 1)
     )
     annotated = bands_df.join(sizes, list(BAND_COLS)).persist()
+    if persisted is not None:
+        persisted.append(annotated)
 
     small = annotated.where(F.col("bucket_n") <= bucket_cap)
     a = small.select(*BAND_COLS, F.col(id_col).alias("a"))
@@ -206,14 +219,19 @@ def candidate_pairs_cross(
             .agg(F.count("*").alias("bucket_n"))
             .where(F.col("bucket_n") > bucket_cap)
         )
-        # 2^31 scale keeps pmod * bucket_n inside long range for
-        # bucket_n up to ~4e9
+        # keep-rate comparison in DOUBLES: pmod/2^31 (uniform [0,1))
+        # vs cap/bucket_n — no integer product, so the predicate
+        # cannot overflow however large bucket_n grows (ADVICE r3:
+        # the earlier pmod * bucket_n form wrapped negative past
+        # bucket_n ~ 4.29e9, silently disabling thinning on exactly
+        # the mega-buckets the cap exists to protect against)
         scale = 1 << 31
         i = i.join(big, list(BAND_COLS), "left").where(
             F.col("bucket_n").isNull()
             | (
-                F.pmod(F.xxhash64("index_id"), F.lit(scale)) * F.col("bucket_n")
-                < F.lit(bucket_cap) * F.lit(scale)
+                F.pmod(F.xxhash64("index_id"), F.lit(scale)).cast("double")
+                / F.lit(float(scale))
+                < F.lit(float(bucket_cap)) / F.col("bucket_n").cast("double")
             )
         ).drop("bucket_n")
     if broadcast_query:

@@ -3,12 +3,14 @@
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker sees columnar batches, never a
-row at a time. The actual codec step is STUBBED (image/audio libs
-are not in this container): ``decoder="fake"`` produces a
-deterministic feature vector from the bytes so the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is fully
-real and tested; ``decoder="real"`` raises NotImplementedError where
-a PIL/ffmpeg call would go.
+row at a time. ``decoder="fake"`` produces a deterministic feature
+vector from the bytes (plumbing tests without any codec);
+``decoder="real"`` takes a ``decode_fn`` codec closure — WORKING
+stdlib-only implementations for PNG and WAV ship in
+``functions/media.py`` (``png_feature_fn`` / ``wav_feature_fn``,
+proven end-to-end in tests/test_multimodal.py), and production swaps
+in PIL/ffmpeg through the same seam. ``decoder="real"`` without a
+``decode_fn`` still raises with guidance.
 """
 
 from __future__ import annotations

@@ -238,10 +238,13 @@ def test_incremental_deduplicate(spark, cfg):
                                   threshold=0.7)
     try:
         sel = sorted(r.record_id for r in res.selected.collect())
-        fil = {r.record_id: r.exemplar_id for r in res.filtered.collect()}
+        fil = {r.record_id: (r.exemplar_id, r.exemplar_source)
+               for r in res.filtered.collect()}
         assert sel == [11, 13]
-        assert fil[10] == 0      # cross stage: matched the stored corpus
-        assert fil[12] == 11     # self stage: matched within the batch
+        # exemplar_source disambiguates the two id spaces (ADVICE r3)
+        assert fil[10] == (0, "index")   # cross stage: matched stored corpus
+        assert fil[12] == (11, "batch")  # self stage: matched within batch
+        assert {r.other_source for r in res.pairs.collect()} == {"index", "batch"}
         # cumulative corpus grows by exactly the genuinely-new rows
         assert res.selected.count() + len(fil) == 4
         assert "exact_key" not in [c.lower() for c in res.selected.columns]

@@ -154,3 +154,19 @@ def test_auto_above_cap_routes_to_ivf_and_stays_exact(spark, monkeypatch):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     got = {(r.query_id, r.rk): r.index_id for r in auto.collect()}
     assert got == golden
+
+
+def test_centroids_deterministic_across_partitionings(spark):
+    """VERDICT r3 #2: train_centroids samples the train_cap SMALLEST
+    ids (TakeOrderedAndProject), so centroids — and pruned-probe IVF
+    results — are identical regardless of how the input is
+    partitioned. An unordered limit() would sample whichever
+    partitions answer first."""
+    from semhash_spark.operators.knn import train_centroids
+
+    emb = _clustered_embeddings(spark, n_centers=6, per_center=30)
+    c1 = train_centroids(emb.repartition(1), 6, train_cap=100)
+    c8 = train_centroids(emb.repartition(8, "embedding"), 6, train_cap=100)
+    cr = train_centroids(emb.orderBy(F.rand(3)).repartition(5), 6, train_cap=100)
+    np.testing.assert_array_equal(c1, c8)
+    np.testing.assert_array_equal(c1, cr)
