@@ -90,6 +90,10 @@ class SparkSemHash:
         # split (benchmarks/README.md:43-61)
         self._idx_keys: DataFrame | None = None
         self._idx_bands: DataFrame | None = None
+        # cosine mode, fused path: the index-side embedding blob ref,
+        # built once per fit so repeated deduplicate() calls skip the
+        # blob write (the reference's dedup-only benchmark split)
+        self._idx_blob_ref: dict | None = None
         # memoized exemplar-embedding frame for the rank surfaces in
         # minhash/simhash mode (VERDICT r3 #4: self_rank followed by
         # find_representative used to re-run the featurize UDF over
@@ -145,6 +149,7 @@ class SparkSemHash:
         self._ranking = None
         self._idx_keys = None
         self._idx_bands = None
+        self._idx_blob_ref = None  # temp blob files are reaped at exit
         self._emb_feats = None
 
     # ---------------------------------------------------------- dedup
@@ -216,11 +221,21 @@ class SparkSemHash:
                     else VERIFY_BROADCAST_CAP
                 )
                 n_idx, idx_bytes = _feat_bytes(self._feats, cfg.embedding_col)
-                if not (
+                if (
                     n_idx <= fused_cap
                     and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
                     and blob_transport_available(self._feats.sparkSession)
                 ):
+                    if self._idx_blob_ref is None:
+                        from semhash_spark.operators.verify import (
+                            materialize_feats,
+                        )
+
+                        self._idx_blob_ref = materialize_feats(
+                            self._feats.select(cfg.id_col, cfg.embedding_col),
+                            cfg.id_col, cfg.embedding_col, "crossedges",
+                        )
+                else:
                     banded = self._feats.withColumn(
                         "hpb",
                         hyperplane_bands(
@@ -251,6 +266,7 @@ class SparkSemHash:
             broadcast_query=broadcast_query,
             index_keys=self._idx_keys,
             index_bands=self._idx_bands,
+            index_blob_ref=self._idx_blob_ref,
         )
 
     def incremental(
@@ -276,6 +292,7 @@ class SparkSemHash:
             broadcast_query=broadcast_query,
             index_keys=self._idx_keys,
             index_bands=self._idx_bands,
+            index_blob_ref=self._idx_blob_ref,
         )
 
     # ----------------------------------------------------- rank-based

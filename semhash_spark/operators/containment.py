@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 
 from semhash_spark.operators.lsh import candidate_pairs_self
 
+# below this estimated candidate-pair volume the broadcast-blob
+# verify's fixed pack cost exceeds its kernel win over the join form
+# (interleaved A/B at 100k files / 3.2k pairs: join ~6 s vs blob
+# ~10 s; the blob's measured 8x kernel advantage needs a pair stream
+# big enough to spend kernel time in)
+_BLOB_MIN_PAIRS = 250_000
+
 
 def anchor_table(
     feats: DataFrame,
@@ -119,15 +126,34 @@ def containment_edges(
     )
     cands = candidate_pairs_self(at, cfg.bucket_cap, id_col, persisted)
 
-    # auto strategy: broadcast-blob scoring when the shingle table
-    # fits the blob caps (ids-only pair stream + mmap'd payload,
-    # VERDICT r3 #4 — the join form shuffled full shingle arrays onto
-    # every candidate), broadcast-hinted join otherwise
+    # Verify-strategy choice is PAIR-VOLUME driven (measured r4): the
+    # broadcast-blob scorer (ids-only pair stream + mmap'd payload,
+    # VERDICT r3 #4) amortizes its fixed pack cost (~seconds of jobs)
+    # only when the candidate relation is large; anchor-bounded
+    # candidate sets are often tiny, where the broadcast-hinted join
+    # wins outright. The estimate is one agg over the (ids, hashes)
+    # anchor table using the same star-cap arithmetic the pair
+    # generator applies: n<=cap buckets emit n(n-1)/2 pairs, capped
+    # buckets emit n star edges.
     from semhash_spark.operators.verify import verify_containment
 
+    est_pairs = (
+        at.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select(
+            F.when(
+                F.col("n") <= cfg.bucket_cap,
+                F.col("n") * (F.col("n") - 1) / 2,
+            ).otherwise(F.col("n")).alias("p")
+        )
+        .agg(F.coalesce(F.sum("p"), F.lit(0.0)))
+        .first()[0]
+    )
+    strategy = "broadcast" if est_pairs >= _BLOB_MIN_PAIRS else "join"
     scored = verify_containment(
         cands, feats.select(id_col, "shingles"), "shingles", id_col,
-        cfg.containment_threshold, strategy="auto",
+        cfg.containment_threshold, strategy=strategy,
     ).select("a", "b", "score")
 
     if confirm_substring and content_df is not None:

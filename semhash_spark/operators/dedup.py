@@ -362,6 +362,7 @@ def deduplicate(
     broadcast_query: bool = False,
     index_keys: DataFrame | None = None,
     index_bands: DataFrame | None = None,
+    index_blob_ref: dict | None = None,
 ) -> DedupResult:
     """Cross-dataset dedup of ``query_df`` against fitted ``index_df``.
 
@@ -457,16 +458,24 @@ def deduplicate(
             if cfg.cosine_fused_cap is not None
             else VERIFY_BROADCAST_CAP
         )
-        n_idx, idx_bytes = _feat_bytes(index_feats, cfg.embedding_col)
-        if (
-            n_idx <= fused_cap
-            and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
-            and blob_transport_available(query_df.sparkSession)
-        ):
+        if index_blob_ref is not None:
+            # the fitted api prebuilt the index blob: the fit-side
+            # decision (caps + transport) was already made there, so
+            # skip the per-call byte measure too
+            fits_fused = True
+        else:
+            n_idx, idx_bytes = _feat_bytes(index_feats, cfg.embedding_col)
+            fits_fused = (
+                n_idx <= fused_cap
+                and idx_bytes <= VERIFY_BROADCAST_MAX_BYTES
+                and blob_transport_available(query_df.sparkSession)
+            )
+        if fits_fused:
             hits = cosine_cross_threshold_edges(
                 q_feats.select(id_col, cfg.embedding_col),
                 index_feats.select(id_col, cfg.embedding_col),
                 threshold, id_col, cfg.embedding_col,
+                ref=index_blob_ref,
             ).persist()
         else:
             def _hp_bands(frame):

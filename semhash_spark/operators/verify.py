@@ -926,6 +926,7 @@ def cosine_cross_threshold_edges(
     threshold: float,
     id_col: str = "record_id",
     emb_col: str = "embedding",
+    ref: dict | None = None,
 ) -> DataFrame:
     """All cross pairs (query_id, index_id, score >= threshold) —
     fused candidate generation + verification for the CROSS shape.
@@ -944,8 +945,14 @@ def cosine_cross_threshold_edges(
     LSH candidates + verify_cosine (operators/dedup.py:deduplicate).
     Zero-norm / NULL rows on either side never pair (NULL-cosine
     semantics, matching ``cosine_similarity``).
+
+    ``ref``: a prebuilt ``materialize_feats`` blob ref for the index
+    side — the fitted api memoizes one per fit so REPEATED query
+    batches (the reference's dedup-only benchmark split) skip the
+    blob write entirely and pay only their own matmul.
     """
-    ref = materialize_feats(index_feats, id_col, emb_col, "crossedges")
+    if ref is None:
+        ref = materialize_feats(index_feats, id_col, emb_col, "crossedges")
     thr = float(threshold)
 
     def edges(batches):

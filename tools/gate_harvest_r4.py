@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Round-4 quiet-window harvester: alternate gated canonical-bench
+runs and gated N->4N scaling runs, writing bench_r4_try{N}.json /
+scaling_300k_r4_{K}.json. The gate samples 1-min load and only fires
+below the threshold (the r3 lesson: canonical artifacts captured at
+tenant load 10+ misrepresent the code)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEADLINE = time.time() + float(os.environ.get("HARVEST_HOURS", "4.5")) * 3600
+GATE = float(os.environ.get("HARVEST_GATE", "1.2"))
+
+
+def log(msg: str) -> None:
+    print(f"[harvest {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def wait_quiet(gate: float, settle: int = 2) -> bool:
+    """True when `settle` consecutive samples are below gate."""
+    ok = 0
+    while time.time() < DEADLINE:
+        load = os.getloadavg()[0]
+        if load < gate:
+            ok += 1
+            if ok >= settle:
+                return True
+        else:
+            ok = 0
+        time.sleep(45)
+    return False
+
+
+def run_bench(tag: str) -> None:
+    out = os.path.join(REPO, f"bench_r4_{tag}.json")
+    logf = os.path.join(REPO, f"bench_r4_{tag}.log")
+    load0 = os.getloadavg()[0]
+    log(f"bench {tag} starting at load {load0:.1f}")
+    with open(out, "w") as fo, open(logf, "w") as fe:
+        subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       stdout=fo, stderr=fe, cwd=REPO, timeout=3600)
+    try:
+        j = json.loads(open(out).read().strip().splitlines()[-1])
+        log(f"bench {tag}: suite {j['value']}s flagship {j['queries']['corpus_selfdedup']}s "
+            f"({j['files_per_sec']} files/s), started at load {load0:.1f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"bench {tag} parse failed: {e}")
+
+
+def run_scaling(tag: str) -> None:
+    logf = os.path.join(REPO, f"scaling_300k_r4_{tag}.log")
+    outj = os.path.join(REPO, f"scaling_300k_r4_{tag}.json")
+    log(f"scaling {tag} starting at load {os.getloadavg()[0]:.1f}")
+    with open(logf, "w") as fe:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/scaling_bench.py"),
+             "300000", "--repeats", "2", "--load-gate", str(GATE),
+             "--gate-timeout", "2400"],
+            stdout=subprocess.PIPE, stderr=fe, cwd=REPO, text=True,
+            timeout=7200,
+        )
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            open(outj, "w").write(line + "\n")
+            j = json.loads(line)
+            log(f"scaling {tag}: eff {j.get('efficiency')} rel {j.get('relative_efficiency')}")
+            return
+    log(f"scaling {tag}: no JSON line")
+
+
+def main() -> None:
+    plan = [("bench", "try2"), ("scaling", "a"), ("bench", "try3"),
+            ("scaling", "b"), ("bench", "try4")]
+    for kind, tag in plan:
+        if time.time() >= DEADLINE:
+            log("deadline reached")
+            break
+        log(f"waiting for load < {GATE} for {kind} {tag}")
+        if not wait_quiet(GATE):
+            log("gate timed out at deadline")
+            break
+        if kind == "bench":
+            run_bench(tag)
+        else:
+            run_scaling(tag)
+        time.sleep(120)
+    log("harvest done")
+
+
+if __name__ == "__main__":
+    main()
