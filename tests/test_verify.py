@@ -162,3 +162,33 @@ def test_pair_intersections_blocking_respects_budget(monkeypatch):
     pos_b = np.asarray([1, 2, 3, 0])
     inter, la, lb = V._pair_intersections(seg, pos_a, pos_b)
     assert inter.tolist() == [1500, 3, 2, 0]
+
+
+def test_verify_containment_strategies_bit_identical(spark):
+    """The shared blob scorer's containment metric (r4,
+    _verify_set_broadcast) must equal the join form exactly —
+    including pairs where the Jaccard size prune WOULD have fired
+    (small-set-inside-big-set is precisely the containment shape)."""
+    from semhash_spark.operators.verify import verify_containment
+
+    feats = _feats(spark)
+    ids = feats.select("record_id")
+    pairs = (
+        ids.select(F.col("record_id").alias("a"))
+        .crossJoin(ids.select(F.col("record_id").alias("b")))
+        .where("a < b")
+    )
+    cb = {(r.a, r.b): r.score for r in
+          verify_containment(pairs, feats, strategy="broadcast").collect()}
+    cj = {(r.a, r.b): r.score for r in
+          verify_containment(pairs, feats, strategy="join").collect()}
+    assert cb == cj
+    assert len(cb) == 60 * 59 // 2
+    # thresholded form keeps only >= t on both strategies
+    t_b = {(r.a, r.b) for r in
+           verify_containment(pairs, feats, threshold=0.9,
+                              strategy="broadcast").collect()}
+    t_j = {(r.a, r.b) for r in
+           verify_containment(pairs, feats, threshold=0.9,
+                              strategy="join").collect()}
+    assert t_b == t_j == {k for k, v in cb.items() if v >= 0.9}
