@@ -57,11 +57,13 @@ def run_scaling(tag: str) -> None:
     logf = os.path.join(REPO, f"scaling_300k_r4_{tag}.log")
     outj = os.path.join(REPO, f"scaling_300k_r4_{tag}.json")
     log(f"scaling {tag} starting at load {os.getloadavg()[0]:.1f}")
+    repeats = os.environ.get("HARVEST_SCALING_REPEATS", "2")
+    pair = os.environ.get("HARVEST_SCALING_PAIR", "8 32").split()
     with open(logf, "w") as fe:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/scaling_bench.py"),
-             "300000", "--repeats", "2", "--load-gate", str(GATE),
-             "--gate-timeout", "2400"],
+             "300000", "--repeats", repeats, "--load-gate", str(GATE),
+             "--gate-timeout", "2400", "--pair", pair[0], pair[1]],
             stdout=subprocess.PIPE, stderr=fe, cwd=REPO, text=True,
             timeout=7200,
         )
@@ -75,8 +77,12 @@ def run_scaling(tag: str) -> None:
 
 
 def main() -> None:
-    plan = [("bench", "try2"), ("scaling", "a"), ("bench", "try3"),
-            ("scaling", "b"), ("bench", "try4")]
+    plan_env = os.environ.get("HARVEST_PLAN")
+    if plan_env:
+        plan = [tuple(item.split(":", 1)) for item in plan_env.split(",")]
+    else:
+        plan = [("bench", "try2"), ("scaling", "a"), ("bench", "try3"),
+                ("scaling", "b"), ("bench", "try4")]
     for kind, tag in plan:
         if time.time() >= DEADLINE:
             log("deadline reached")
