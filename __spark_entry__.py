@@ -219,6 +219,21 @@ def q_selfdedup_clusters_oph(spark, sf_dir):
     )
 
 
+def q_filtered_strings(spark, sf_dir):
+    # string-record surface (semhash/records.py:20-35 via
+    # DedupResult.filtered_strings): every dropped row rendered back
+    # to its cleaned string plus the kept exemplar's string. The
+    # exemplar link equals the component exemplar (the
+    # selfdedup_clusters oracle proves filtered.exemplar_id ==
+    # comp.cluster_id), so the oracle joins documents on the same CTE.
+    res = _docs_selfdedup(spark, sf_dir)
+    return res.filtered_strings().select(
+        F.col("record_id").cast("long").alias("dup_id"),
+        "record",
+        "duplicate_of",
+    )
+
+
 def q_selfdedup_stats(spark, sf_dir):
     # D5: scalar stats row
     res = _docs_selfdedup(spark, sf_dir)
@@ -685,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selfdedup_clusters": q_selfdedup_clusters,
         "selfdedup_clusters_oph": q_selfdedup_clusters_oph,
         "selfdedup_stats": q_selfdedup_stats,
+        "filtered_strings": q_filtered_strings,
         "cosine_dedup_clusters": q_cosine_dedup_clusters,
         "cross_dedup_cosine_selected": q_cross_dedup_cosine_selected,
         "cross_dedup_cosine_lsh": q_cross_dedup_cosine_lsh,
@@ -1162,6 +1178,16 @@ def oracle_sql() -> dict[str, str]:
           round(count(*) FILTER (doc_id <> cluster_id)::DOUBLE / count(*), 6)
             AS duplicate_ratio
         FROM comp
+        """,
+        "filtered_strings": _CLUSTERS_CTE
+        + """
+        SELECT c.doc_id AS dup_id,
+               replace(coalesce(d.text, ''), chr(9), ' ') AS record,
+               replace(coalesce(e.text, ''), chr(9), ' ') AS duplicate_of
+        FROM comp c
+        JOIN documents d ON d.doc_id = c.doc_id
+        JOIN documents e ON e.doc_id = c.cluster_id
+        WHERE c.doc_id <> c.cluster_id
         """,
         "cosine_dedup_clusters": _EMB_CLUSTERS_CTE
         + "SELECT vec_id, cluster_id FROM comp",

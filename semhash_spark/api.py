@@ -75,10 +75,35 @@ def _validate_embeddings(df: DataFrame, emb_col: str, id_col: str) -> None:
         )
 
 
+def records_from_strings(spark, texts, id_col: str = "record_id") -> DataFrame:
+    """String-record ingestion mirroring the reference's
+    ``prepare_records`` string path (semhash/utils.py:127-153): a
+    sequence of plain strings becomes single-column ``{"text": s}``
+    records, with ids assigned by list position so first-wins
+    ordering matches the reference's list semantics.
+
+    Raises the reference's own errors: empty input, and dict records
+    without declared columns (semhash/utils.py:140-143).
+    """
+    texts = list(texts)
+    if len(texts) == 0:
+        raise ValueError("records must not be empty")
+    if isinstance(texts[0], dict):
+        raise ValueError("Columns must be specified when passing dictionaries.")
+    return spark.createDataFrame(
+        [(i, str(t)) for i, t in enumerate(texts)],
+        schema=f"{id_col} bigint, text string",
+    )
+
+
 class SparkSemHash:
     def __init__(self, cfg: DedupConfig | None = None, mode: str = "minhash") -> None:
         self.cfg = cfg or DedupConfig()
         self.mode = mode
+        # reference was_string flag (semhash/utils.py:149): set by
+        # from_strings; result string views are always available on
+        # DedupResult regardless, this only records provenance
+        self.was_string = False
         self._df: DataFrame | None = None
         self._exemplars: DataFrame | None = None
         self._feats: DataFrame | None = None
@@ -111,6 +136,25 @@ class SparkSemHash:
         self._exemplars = keyed.where(~F.col("is_exact_dup")).persist()
         self._feats = dedup_ops.add_features(self._exemplars, cfg, self.mode).persist()
         return self
+
+    @classmethod
+    def from_strings(
+        cls, spark, texts, cfg: DedupConfig | None = None, mode: str = "minhash"
+    ) -> "SparkSemHash":
+        """Reference ``SemHash.from_records(records=list[str])``
+        (semhash/semhash.py:43-98 via utils.prepare_records): columns
+        are forced to ``("text",)`` exactly as the reference does,
+        ids follow list position, and ``was_string`` is recorded so
+        callers know result rows render back to plain strings via
+        ``DedupResult.selected_strings()`` / ``filtered_strings()``
+        (the map_deduplication_result_to_strings analogue,
+        semhash/records.py:20-35)."""
+        cfg = cfg or DedupConfig(columns=("text",))
+        if tuple(cfg.columns) != ("text",):
+            cfg = cfg.with_(columns=("text",))
+        sh = cls(cfg, mode=mode)
+        sh.was_string = True
+        return sh.fit(records_from_strings(spark, texts, cfg.id_col))
 
     def fit_embeddings(self, df: DataFrame, emb_col: str = "embedding") -> "SparkSemHash":
         """Reference from_embeddings (semhash/semhash.py:100-168):

@@ -71,6 +71,46 @@ class DedupResult:
         denom = n_sel + n_fil
         return n_exact / denom if denom else 0.0
 
+    # --- string views (reference records.py:6-35) ---
+    def selected_strings(self) -> DataFrame:
+        """String rendering of the kept rows — the
+        ``map_deduplication_result_to_strings`` selected path
+        (semhash/records.py:20-23): each record becomes the tab-join
+        of its cleaned column values (records.py:6-17). The id column
+        is kept so the reference's list order is recoverable with an
+        ``orderBy`` at the edge."""
+        from semhash_spark.operators.ids import rendered_record
+
+        return self.selected.select(
+            F.col(self.id_col),
+            rendered_record(self.columns, self.selected).alias("record"),
+        )
+
+    def filtered_strings(self) -> DataFrame:
+        """String rendering of the dropped rows — the DuplicateRecord
+        string path (semhash/records.py:24-33): the dropped record,
+        the kept exemplar it duplicates (``duplicate_of``), plus the
+        score and exact flag. The exemplar text comes from an id
+        equi-join against ``selected`` (ids only shuffle; Catalyst /
+        AQE picks broadcast when the kept side is small)."""
+        from semhash_spark.operators.ids import rendered_record
+
+        ex = self.selected.select(
+            F.col(self.id_col).alias("exemplar_id"),
+            rendered_record(self.columns, self.selected).alias("duplicate_of"),
+        )
+        return (
+            self.filtered.select(
+                F.col(self.id_col),
+                rendered_record(self.columns, self.filtered).alias("record"),
+                "exemplar_id",
+                "score",
+                "exact",
+            )
+            .join(ex, "exemplar_id", "left")
+            .select(self.id_col, "record", "duplicate_of", "score", "exact")
+        )
+
     # --- inspection (reference :86-95) ---
     def get_least_similar_from_duplicates(self, n: int = 1) -> DataFrame:
         """Bottom-n duplicate pairs by score (TakeOrderedAndProject)."""
