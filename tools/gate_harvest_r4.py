@@ -22,15 +22,47 @@ def log(msg: str) -> None:
     print(f"[harvest {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def _burn(_):
+    x = 0
+    for i in range(10**7):
+        x += i * i
+    return x
+
+
+def canary_seconds(procs: int = 8) -> float:
+    """Delivered-compute canary: wall time for `procs` concurrent
+    10M-iteration pure-python loops. On a healthy window this box
+    does ~1.3-1.6 s regardless of procs<=8; during a hypervisor
+    steal storm the SAME loadavg reads <1 while delivered compute
+    collapses 10x+ (observed 2026-08-17: a local[8] scaling leg at
+    start-load 0.7 took 689 s vs the usual ~40 s). Loadavg cannot
+    see steal, so gate on measured compute too."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))
+    return time.perf_counter() - t0
+
+
+CANARY_MAX = float(os.environ.get("HARVEST_CANARY_MAX", "2.2"))
+
+
 def wait_quiet(gate: float, settle: int = 2) -> bool:
-    """True when `settle` consecutive samples are below gate."""
+    """True when `settle` consecutive load samples are below gate
+    AND the delivered-compute canary confirms the window is real."""
     ok = 0
     while time.time() < DEADLINE:
         load = os.getloadavg()[0]
         if load < gate:
             ok += 1
             if ok >= settle:
-                return True
+                c = canary_seconds()
+                if c <= CANARY_MAX:
+                    return True
+                log(f"canary {c:.2f}s > {CANARY_MAX}s at load {load:.1f} "
+                    f"— steal-degraded window, keep waiting")
+                ok = 0
         else:
             ok = 0
         time.sleep(45)
@@ -53,12 +85,13 @@ def run_bench(tag: str) -> None:
         log(f"bench {tag} parse failed: {e}")
 
 
-def run_scaling(tag: str) -> None:
+def run_scaling(tag: str, pair: list[str] | None = None) -> None:
     logf = os.path.join(REPO, f"scaling_300k_r4_{tag}.log")
     outj = os.path.join(REPO, f"scaling_300k_r4_{tag}.json")
     log(f"scaling {tag} starting at load {os.getloadavg()[0]:.1f}")
     repeats = os.environ.get("HARVEST_SCALING_REPEATS", "2")
-    pair = os.environ.get("HARVEST_SCALING_PAIR", "8 32").split()
+    if pair is None:
+        pair = os.environ.get("HARVEST_SCALING_PAIR", "8 32").split()
     with open(logf, "w") as fe:
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/scaling_bench.py"),
@@ -93,6 +126,10 @@ def main() -> None:
             break
         if kind == "bench":
             run_bench(tag)
+        elif kind == "scaling14":
+            run_scaling(tag, ["1", "4"])
+        elif kind == "scaling84":
+            run_scaling(tag, ["8", "32"])
         else:
             run_scaling(tag)
         time.sleep(120)
