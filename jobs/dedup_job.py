@@ -88,6 +88,21 @@ def main(argv: list[str] | None = None, stop_spark: bool = True) -> dict:
                    help="bucket count when --incremental creates the table")
     args = p.parse_args(argv)
 
+    # flag-compatibility checks BEFORE any Spark work: the containment
+    # stage below runs its pair-volume estimate eagerly, so rejecting
+    # bad combinations late would burn a full corpus shingle+anchor
+    # pass first
+    if args.incremental and (args.with_containment or args.checkpoint_dir
+                             or args.against):
+        p.error("--incremental is incompatible with --with-containment, "
+                "--checkpoint-dir and --against")
+    if args.against and args.with_containment:
+        p.error("--with-containment applies to self dedup only "
+                "(cross mode has no clustering to feed edges into)")
+    if args.against and args.checkpoint_dir:
+        p.error("--checkpoint-dir is not supported with --against "
+                "(cross-mode checkpointing is not wired)")
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -160,9 +175,6 @@ def main(argv: list[str] | None = None, stop_spark: bool = True) -> dict:
 
     t0 = time.time()
     if args.incremental:
-        if args.with_containment or args.checkpoint_dir or args.against:
-            p.error("--incremental is incompatible with --with-containment, "
-                    "--checkpoint-dir and --against")
         from semhash_spark.operators.dedup import incremental_deduplicate
         from semhash_spark.sources.bucketed import read_bucketed, write_bucketed
 
@@ -179,16 +191,10 @@ def main(argv: list[str] | None = None, stop_spark: bool = True) -> dict:
             # the corpus table
             res = self_deduplicate(df, cfg, mode=args.mode)
     elif args.against:
+        # (flag compatibility was rejected right after parse_args:
         # containment feeds extra edges into self-mode CLUSTERING and
         # the checkpoint stages are the self-pipeline's; neither is
-        # wired for the existential cross path — reject loudly rather
-        # than silently dropping the flags
-        if args.with_containment:
-            p.error("--with-containment applies to self dedup only "
-                    "(cross mode has no clustering to feed edges into)")
-        if args.checkpoint_dir:
-            p.error("--checkpoint-dir is not supported with --against "
-                    "(cross-mode checkpointing is not wired)")
+        # wired for the existential cross path)
         from semhash_spark.api import SparkSemHash
 
         idx = spark.read.parquet(args.against)

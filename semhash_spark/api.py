@@ -88,7 +88,9 @@ def records_from_strings(spark, texts, id_col: str = "record_id") -> DataFrame:
     texts = list(texts)
     if len(texts) == 0:
         raise ValueError("records must not be empty")
-    if isinstance(texts[0], dict):
+    if any(isinstance(t, dict) for t in texts):
+        # checked over the WHOLE list, not just texts[0]: a mixed
+        # list would otherwise silently ingest str(dict) reprs
         raise ValueError("Columns must be specified when passing dictionaries.")
     return spark.createDataFrame(
         [(i, str(t)) for i, t in enumerate(texts)],
@@ -228,6 +230,12 @@ class SparkSemHash:
             self._idx_keys = index_key_table(
                 self._df, self.cfg.columns, self.cfg.id_col
             ).persist()
+        if self._idx_blob_ref is not None:
+            # cosine fused path already memoized: don't re-run the
+            # _feat_bytes agg (a full pass over the fitted feature
+            # table) just to re-derive the fit-side decision on every
+            # deduplicate()/incremental() call
+            return
         if self._idx_bands is None and self.mode in ("minhash", "simhash", "cosine"):
             from semhash_spark.functions.hashing import simhash_bands
             from semhash_spark.operators.lsh import band_table, explode_band_array

@@ -86,18 +86,30 @@ class DedupResult:
             rendered_record(self.columns, self.selected).alias("record"),
         )
 
-    def filtered_strings(self) -> DataFrame:
+    def filtered_strings(self, exemplar_records: DataFrame | None = None) -> DataFrame:
         """String rendering of the dropped rows — the DuplicateRecord
         string path (semhash/records.py:24-33): the dropped record,
         the kept exemplar it duplicates (``duplicate_of``), plus the
         score and exact flag. The exemplar text comes from an id
-        equi-join against ``selected`` (ids only shuffle; Catalyst /
-        AQE picks broadcast when the kept side is small)."""
+        equi-join (ids only shuffle; Catalyst / AQE picks broadcast
+        when the exemplar side is small).
+
+        SELF-dedup results resolve exemplars against ``selected``
+        (sound: the pipeline remaps every filtered row's exemplar to
+        its component's KEPT exemplar, oracle-checked by
+        selfdedup_clusters). CROSS-dedup (``deduplicate(query, index)``)
+        exemplar ids live in the INDEX corpus — they are never in
+        ``selected`` — so pass the index records as
+        ``exemplar_records`` (any frame carrying ``id_col`` + the
+        record columns); without it every cross row's
+        ``duplicate_of`` is NULL, and ids that exist in BOTH spaces
+        would render the wrong record's text."""
         from semhash_spark.operators.ids import rendered_record
 
-        ex = self.selected.select(
+        ex_src = exemplar_records if exemplar_records is not None else self.selected
+        ex = ex_src.select(
             F.col(self.id_col).alias("exemplar_id"),
-            rendered_record(self.columns, self.selected).alias("duplicate_of"),
+            rendered_record(self.columns, ex_src).alias("duplicate_of"),
         )
         return (
             self.filtered.select(

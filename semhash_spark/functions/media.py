@@ -168,7 +168,13 @@ def wav_feature_fn(dim: int = 16):
             return np.zeros(dim, dtype=np.float32)
         parts = np.array_split(mono, segs)
         rms = np.array([np.sqrt((p**2).mean()) if len(p) else 0.0 for p in parts])
-        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+        # a 1-frame clip has no transitions: diff is empty and its
+        # mean would be NaN, silently poisoning downstream cosine
+        zcr = (
+            float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+            if len(mono) > 1
+            else 0.0
+        )
         return np.concatenate(
             [rms, [float(np.sqrt((mono**2).mean())), zcr]]
         ).astype(np.float32)[:dim]

@@ -150,7 +150,12 @@ def containment_edges(
         .agg(F.coalesce(F.sum("p"), F.lit(0.0)))
         .first()[0]
     )
-    strategy = "broadcast" if est_pairs >= _BLOB_MIN_PAIRS else "join"
+    # "auto", not a forced "broadcast": auto re-applies the blob
+    # safety gates (row/byte caps, blob transport availability off
+    # local mode) and falls back to the join form when any fail —
+    # forcing broadcast here would raise at plan time on a cluster
+    # without a shared blob dir, where the join path works fine
+    strategy = "auto" if est_pairs >= _BLOB_MIN_PAIRS else "join"
     scored = verify_containment(
         cands, feats.select(id_col, "shingles"), "shingles", id_col,
         cfg.containment_threshold, strategy=strategy,

@@ -580,6 +580,7 @@ def incremental_deduplicate(
     broadcast_query: bool = False,
     index_keys: DataFrame | None = None,
     index_bands: DataFrame | None = None,
+    index_blob_ref: dict | None = None,
 ) -> DedupResult:
     """Dedup a NEW ingest batch against the pipeline's PRIOR
     ``selected`` output and then within itself — the production
@@ -609,6 +610,7 @@ def incremental_deduplicate(
         new_df, selected_df, cfg, mode, threshold,
         index_feats=index_feats, broadcast_query=broadcast_query,
         index_keys=index_keys, index_bands=index_bands,
+        index_blob_ref=index_blob_ref,
     )
     survivors = cross.selected
     intra = self_deduplicate(survivors, cfg, mode, threshold)

@@ -112,7 +112,14 @@ def run_scaling(tag: str, pair: list[str] | None = None) -> None:
 def main() -> None:
     plan_env = os.environ.get("HARVEST_PLAN")
     if plan_env:
-        plan = [tuple(item.split(":", 1)) for item in plan_env.split(",")]
+        plan = []
+        for item in plan_env.split(","):
+            if ":" not in item:
+                raise SystemExit(f"HARVEST_PLAN item {item!r} is not kind:tag")
+            kind, tag = item.split(":", 1)
+            if kind not in ("bench", "scaling", "scaling14", "scaling84"):
+                raise SystemExit(f"HARVEST_PLAN kind {kind!r} unknown")
+            plan.append((kind, tag))
     else:
         plan = [("bench", "try2"), ("scaling", "a"), ("bench", "try3"),
                 ("scaling", "b"), ("bench", "try4")]

@@ -117,7 +117,32 @@ def wait_quiet(max_load: float | None, timeout_s: float = 900.0) -> None:
         time.sleep(10)
 
 
+def _burn(_):
+    x = 0
+    for i in range(10**7):
+        x += i * i
+    return x
+
+
+def canary_seconds(procs: int = 8) -> float:
+    """Delivered-compute canary: wall seconds for `procs` concurrent
+    10M-iteration python loops. Healthy window: ~1.3-1.6 s at any
+    procs <= 8. Hypervisor steal storms collapse delivered compute
+    10x+ WITHOUT raising loadavg (observed 2026-08-17: a local[8]
+    leg at start-load 0.7 took 689 s vs the usual ~40 s), so each
+    timed leg records the canary alongside loadavg — curation
+    discards legs whose canary is off the healthy band."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))
+    return _t.perf_counter() - t0
+
+
 def run_once(cpus: int, n: int) -> dict:
+    canary0 = canary_seconds()
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(n)],
         capture_output=True, text=True, timeout=3600,
@@ -125,7 +150,10 @@ def run_once(cpus: int, n: int) -> dict:
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            r["canary_before_sec"] = round(canary0, 2)
+            r["canary_after_sec"] = round(canary_seconds(), 2)
+            return r
     raise RuntimeError(f"no RESULT line (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -155,7 +183,9 @@ def main() -> None:
             r = run_once(cpus, n)
             r["load_start"] = round(load0, 1)
             print(f"[scaling] local[{cpus}]: {r['sec']}s = {r['files_per_sec']} "
-                  f"files/s (load {load0:.1f})", file=sys.stderr)
+                  f"files/s (load {load0:.1f}, canary "
+                  f"{r['canary_before_sec']}/{r['canary_after_sec']}s)",
+                  file=sys.stderr)
             if cpus not in results or r["sec"] < results[cpus]["sec"]:
                 results[cpus] = r
 
@@ -198,6 +228,10 @@ def main() -> None:
         "parallel_fraction_at_N": round(par_frac, 3),
         "deterministic_output": True,
         "n_selected": r32["n_selected"], "n_filtered": r32["n_filtered"],
+        "canaries_sec": {
+            str(pair[0]): [r8["canary_before_sec"], r8["canary_after_sec"]],
+            str(pair[1]): [r32["canary_before_sec"], r32["canary_after_sec"]],
+        },
     }
     print(json.dumps(summary))
 
