@@ -46,6 +46,29 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def _burn(_):
+    x = 0
+    for i in range(10**7):
+        x += i * i
+    return x
+
+
+def _canary_seconds(procs: int = 8) -> float:
+    """Delivered-compute canary: wall seconds for 8 concurrent
+    10M-iteration python loops — ~1.3-1.6 s on a healthy window at
+    any procs <= 8. The sandbox host suffers hypervisor steal storms
+    that collapse delivered compute 10x+ WITHOUT raising loadavg
+    (2026-08-17: a ~40 s scaling leg took 689 s at start-load 0.7),
+    so the bench records the canary before and after the suite:
+    readers can tell a slow artifact from slow code."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +83,7 @@ def main() -> None:
     from semhash_spark.sources.corpus import generate_corpus
     from semhash_spark.sources.tables import documents, embeddings
 
+    canary0 = _canary_seconds()
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(8, cpus))
 
     timings: dict[str, float] = {}
@@ -240,6 +264,9 @@ def main() -> None:
     }
     for k, v in extras.items():
         out[k] = v
+    out["canary_before_sec"] = round(canary0, 2)
+    out["canary_after_sec"] = round(_canary_seconds(), 2)
+    out["load1_end"] = round(os.getloadavg()[0], 1)
     print(json.dumps(out))
     spark.stop()
 
