@@ -127,11 +127,15 @@ def _burn(_):
 def canary_seconds(procs: int = 8) -> float:
     """Delivered-compute canary: wall seconds for `procs` concurrent
     10M-iteration python loops. Healthy window: ~1.3-1.6 s at any
-    procs <= 8. Hypervisor steal storms collapse delivered compute
-    10x+ WITHOUT raising loadavg (observed 2026-08-17: a local[8]
-    leg at start-load 0.7 took 689 s vs the usual ~40 s), so each
-    timed leg records the canary alongside loadavg — curation
-    discards legs whose canary is off the healthy band."""
+    procs <= the free-core count (wall is flat in procs on an idle
+    box). Hypervisor steal storms collapse delivered compute 10x+
+    WITHOUT raising loadavg (observed 2026-08-17: a local[8] leg at
+    start-load 0.7 took 689 s vs the usual ~40 s), so each timed leg
+    records the canary alongside loadavg — curation discards legs
+    whose canary is off the healthy band. Width matters: window r2
+    showed an external tenant holding ~half the box starves a
+    32-core leg while an 8-proc canary still reads healthy, so
+    run_once matches the canary width to the leg width."""
     import multiprocessing as mp
     import time as _t
 
@@ -142,7 +146,10 @@ def canary_seconds(procs: int = 8) -> float:
 
 
 def run_once(cpus: int, n: int) -> dict:
-    canary0 = canary_seconds()
+    # canary width = leg width (min 8): an 8-proc canary cannot see
+    # tenant occupancy that starves a 32-core footprint (window r2)
+    procs = max(8, cpus)
+    canary0 = canary_seconds(procs)
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(n)],
         capture_output=True, text=True, timeout=3600,
@@ -152,7 +159,8 @@ def run_once(cpus: int, n: int) -> dict:
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             r["canary_before_sec"] = round(canary0, 2)
-            r["canary_after_sec"] = round(canary_seconds(), 2)
+            r["canary_after_sec"] = round(canary_seconds(procs), 2)
+            r["canary_procs"] = procs
             return r
     raise RuntimeError(f"no RESULT line (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
