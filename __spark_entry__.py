@@ -691,6 +691,69 @@ def q_representatives_ssd(spark, sf_dir):
     return _q_representatives_strategy(spark, sf_dir, "ssd")
 
 
+def q_candidate_limits(spark, sf_dir):
+    # R4: the reference's candidate-limit clamp chain
+    # (semhash/utils.py:36-61, verbatim in rank.compute_candidate_limit)
+    # exercised over data-driven totals x selection sizes chosen to hit
+    # every branch (fraction floor, selection floor, min clamp, max
+    # clamp, total clamp). The oracle re-derives the chain in pure SQL.
+    from semhash_spark.operators.rank import compute_candidate_limit
+
+    docs = _documents(spark, sf_dir)
+    t = docs.agg(
+        F.count("*").alias("t_all"),
+        F.count(F.when(F.col("n_chars") > 300, 1)).alias("t_mid"),
+        F.count(F.when(F.col("doc_id") < 30, 1)).alias("t_tiny"),
+    ).collect()[0]
+    rows = []
+    for total_src, total in (("all", t.t_all), ("mid", t.t_mid), ("tiny", t.t_tiny)):
+        for sel in (1, 50, 200, 2000):
+            rows.append(
+                (total_src, int(total), sel,
+                 compute_candidate_limit(int(total), sel))
+            )
+    return spark.createDataFrame(
+        rows,
+        "total_src string, total long, selection_size long, cand_limit long",
+    )
+
+
+def q_filter_ratios(spark, sf_dir):
+    # R7: FilterResultDF.filter_ratio / selected_ratio over the outlier
+    # cut; n_filtered must equal ceil(n * pct) (reference
+    # semhash/datamodels.py:152-181 ratio properties).
+    from semhash_spark.datamodels import FilterResultDF
+
+    emb = _emb(spark, sf_dir)
+    r = rank_by_avg_similarity(emb, emb, 100, exclude_self=True,
+                               id_col="record_id", emb_col="embedding")
+    sel, outl = filter_outliers(r, 0.1, persisted=_PERSISTED)
+    res = FilterResultDF(selected=sel, filtered=outl)
+    return spark.createDataFrame(
+        [(sel.count(), outl.count(), res.filter_ratio, res.selected_ratio)],
+        "n_selected long, n_filtered long, filter_ratio double, "
+        "selected_ratio double",
+    )
+
+
+def q_corpus_truth(spark, sf_dir):
+    # S5: the benchmark corpus loader vs its id-arithmetic ground
+    # truth — sha256-exact duplicates in a generated corpus are
+    # exactly the slot-1 rows (sources/corpus.truth_exact_pairs), a
+    # property of the generator's construction, independent of the
+    # RNG draws. sf_dir intentionally unused: the corpus is the
+    # loader's own synthetic table (BASELINE.json input_hint schema).
+    from semhash_spark.sources.corpus import generate_corpus
+
+    df = generate_corpus(spark, 2000, seed=7)
+    sha = F.sha2(F.col("content"), 256)
+    return df.agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct(sha).alias("n_distinct_sha"),
+        (F.count("*") - F.countDistinct(sha)).alias("n_exact_dups"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_selected": q_exact_dedup_selected,
@@ -732,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "representatives_msd": q_representatives_msd,
         "representatives_cover": q_representatives_cover,
         "representatives_ssd": q_representatives_ssd,
+        "candidate_limits": q_candidate_limits,
+        "filter_ratios": q_filter_ratios,
+        "corpus_truth": q_corpus_truth,
     }
 
 
@@ -1303,4 +1369,37 @@ def oracle_sql() -> dict[str, str]:
         "representatives_msd": _REP_MSD_GOLDEN_SQL,
         "representatives_cover": _REP_COVER_GOLDEN_SQL,
         "representatives_ssd": _REP_SSD_GOLDEN_SQL,
+        # R4 clamp chain re-derived in SQL: int(total*0.1) -> floor for
+        # positive totals; then max(sel), max(100), min(1000), min(total)
+        "candidate_limits": """
+            WITH t AS (
+              SELECT 'all' AS total_src, count(*)::BIGINT AS total FROM documents
+              UNION ALL
+              SELECT 'mid', count(*)::BIGINT FROM documents WHERE n_chars > 300
+              UNION ALL
+              SELECT 'tiny', count(*)::BIGINT FROM documents WHERE doc_id < 30
+            ),
+            s AS (SELECT unnest([1, 50, 200, 2000])::BIGINT AS selection_size)
+            SELECT total_src, total, selection_size,
+                   least(greatest(cast(floor(total * 0.1) AS BIGINT),
+                                  selection_size, 100),
+                         1000, total) AS cand_limit
+            FROM t, s
+        """,
+        # R7 ratio properties: the outlier cut keeps n - ceil(n*0.1)
+        "filter_ratios": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+            SELECT (n - cast(ceil(n * 0.1) AS BIGINT)) AS n_selected,
+                   cast(ceil(n * 0.1) AS BIGINT) AS n_filtered,
+                   cast(ceil(n * 0.1) AS BIGINT) / n::DOUBLE AS filter_ratio,
+                   1.0 - cast(ceil(n * 0.1) AS BIGINT) / n::DOUBLE AS selected_ratio
+            FROM n
+        """,
+        # S5 ground truth from generator id-arithmetic, NOT from its
+        # output: truth_exact_pairs(2000) = {i : i%100==1} -> 20 rows
+        "corpus_truth": """
+            SELECT 2000::BIGINT AS n_files,
+                   1980::BIGINT AS n_distinct_sha,
+                   20::BIGINT AS n_exact_dups
+        """,
     }
