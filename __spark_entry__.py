@@ -754,6 +754,43 @@ def q_corpus_truth(spark, sf_dir):
     )
 
 
+def q_job_export(spark, sf_dir):
+    # S4: the result-export surface (jobs/dedup_job.py write path,
+    # reference datamodels.py:67-68 "selected/filtered lists" realized
+    # as parquet outputs). Runs the full job — self-dedup documents,
+    # WRITE selected/filtered/stats parquet — then returns the
+    # RE-READ outputs, so the oracle hashes what actually landed on
+    # disk (VERDICT r4 item 7: S4 was the one operator with pytest
+    # coverage but no driver value-hash row).
+    import os
+    import tempfile
+
+    from jobs.dedup_job import main as job_main
+
+    out = tempfile.mkdtemp(prefix="semhash_job_export_")
+    job_main(
+        [
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", out,
+            "--columns", "text",
+            "--id-col", "doc_id",
+            "--threshold", str(JACCARD_T),
+            "--mode", "minhash",
+            "--shingle-k", "3",
+        ],
+        stop_spark=False,
+    )
+    sel = spark.read.parquet(os.path.join(out, "selected"))
+    stats = spark.read.parquet(os.path.join(out, "stats"))
+    return sel.select(F.col("doc_id").cast("long").alias("doc_id")).crossJoin(
+        stats.select(
+            "n_selected",
+            "n_filtered",
+            F.round("duplicate_ratio", 6).alias("duplicate_ratio"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_selected": q_exact_dedup_selected,
@@ -798,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_limits": q_candidate_limits,
         "filter_ratios": q_filter_ratios,
         "corpus_truth": q_corpus_truth,
+        "job_export": q_job_export,
     }
 
 
@@ -1401,5 +1439,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2000::BIGINT AS n_files,
                    1980::BIGINT AS n_distinct_sha,
                    20::BIGINT AS n_exact_dups
+        """,
+        # S4: what the job WROTE must equal the clusters oracle's
+        # selected set + its stats scalars
+        "job_export": _CLUSTERS_CTE
+        + """
+        , st AS (
+          SELECT
+            count(*) FILTER (doc_id = cluster_id)::BIGINT AS n_selected,
+            count(*) FILTER (doc_id <> cluster_id)::BIGINT AS n_filtered,
+            round(count(*) FILTER (doc_id <> cluster_id)::DOUBLE / count(*), 6)
+              AS duplicate_ratio
+          FROM comp
+        )
+        SELECT c.doc_id::BIGINT AS doc_id,
+               st.n_selected, st.n_filtered, st.duplicate_ratio
+        FROM comp c, st
+        WHERE c.doc_id = c.cluster_id
         """,
     }

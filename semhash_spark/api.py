@@ -356,7 +356,8 @@ class SparkSemHash:
             from semhash_spark.functions.encoder import featurize
 
             self._emb_feats = featurize(
-                self._exemplars, cfg.columns, cfg.embedding_dim, cfg.embedding_col
+                self._exemplars, cfg.columns, cfg.embedding_dim,
+                cfg.embedding_col, cfg.embedding_ngram,
             ).select(cfg.id_col, cfg.embedding_col).persist()
         return self._emb_feats
 
@@ -367,7 +368,8 @@ class SparkSemHash:
         from semhash_spark.functions.encoder import featurize
 
         return featurize(
-            query_df, cfg.columns, cfg.embedding_dim, cfg.embedding_col
+            query_df, cfg.columns, cfg.embedding_dim, cfg.embedding_col,
+            cfg.embedding_ngram,
         ).select(cfg.id_col, cfg.embedding_col)
 
     def self_rank(self) -> DataFrame:

@@ -55,6 +55,15 @@ class DedupConfig:
     # --- embeddings ---
     embedding_dim: int = 64
     embedding_col: str = "embedding"
+    # token n-gram order for the hashing encoder (1 = bag of words).
+    # n>=2 decorrelates documents that share a token DISTRIBUTION but
+    # not token ORDER (e.g. code files over a small keyword vocab):
+    # unigram embeddings of such corpora are dominated by the shared
+    # frequency profile (independent-pair cosine ~0.6 on the bench
+    # corpus) while bigrams push independents near 0 — the regime a
+    # real sentence embedder exhibits on real text, and the one
+    # hyperplane LSH needs to bucket efficiently.
+    embedding_ngram: int = 1
     # cosine self-dedup under this many exemplars fuses candidates +
     # verify into one broadcast matmul; above it, random-hyperplane
     # LSH + exact verify (None -> operators.verify.VERIFY_BROADCAST_CAP)
@@ -63,6 +72,14 @@ class DedupConfig:
     hyperplane_bits: int = 64
     hyperplane_bands: int = 8
     hyperplane_seed: int = 42
+
+    # --- connected components ---
+    # verified-edge sets at or below this resolve on the driver
+    # (numpy label propagation); above it, distributed alternating
+    # large-star/small-star rounds. None -> operators.components
+    # DRIVER_CC_CAP. Set 0 to force the distributed path (scale
+    # rehearsal / star-path benchmarks).
+    driver_cc_cap: int | None = None
 
     # --- ranking / filtering (reference: semhash.py:384,331-333) ---
     rank_k: int = 100

@@ -35,6 +35,9 @@ class DedupResult:
     threshold: float
     columns: tuple[str, ...]
     id_col: str = "record_id"
+    # True for cross-dedup results (deduplicate / incremental):
+    # exemplar ids then live in the INDEX corpus, not in ``selected``
+    cross: bool = False
     # intermediate frames the pipeline persisted on this result's
     # behalf; release() drops them when the caller is done inspecting
     _persisted: list = field(default_factory=list, repr=False)
@@ -106,6 +109,15 @@ class DedupResult:
         would render the wrong record's text."""
         from semhash_spark.operators.ids import rendered_record
 
+        if self.cross and exemplar_records is None:
+            # ADVICE r4: without this, a cross result silently rendered
+            # NULL duplicate_of for every row (or, worse, the wrong
+            # record's text when id spaces overlap)
+            raise ValueError(
+                "filtered_strings() on a cross-dedup result needs "
+                "exemplar_records=<the index frame>: exemplar ids live in "
+                "the index corpus, not in selected"
+            )
         ex_src = exemplar_records if exemplar_records is not None else self.selected
         ex = ex_src.select(
             F.col(self.id_col).alias("exemplar_id"),

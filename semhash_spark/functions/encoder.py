@@ -29,8 +29,14 @@ def _token_hash(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "little")
 
 
-def encode_texts(texts: list[str] | pd.Series, dim: int = 64) -> np.ndarray:
+def encode_texts(
+    texts: list[str] | pd.Series, dim: int = 64, ngram: int = 1
+) -> np.ndarray:
     """Encode texts to L2-normalized float32 vectors, shape (n, dim).
+
+    ``ngram`` > 1 hashes token n-grams (space-joined) instead of
+    single tokens — see ``DedupConfig.embedding_ngram`` for why this
+    matters on small-vocabulary corpora.
 
     Vectorized: tokens are uniqued batch-wide (``pd.factorize``,
     hash-based C path), only UNIQUE tokens are sha1-hashed in Python,
@@ -44,6 +50,11 @@ def encode_texts(texts: list[str] | pd.Series, dim: int = 64) -> np.ndarray:
         texts = texts.fillna("").tolist()
     n = len(texts)
     tok_lists = [t.split() for t in texts]
+    if ngram > 1:
+        tok_lists = [
+            [" ".join(t[i : i + ngram]) for i in range(len(t) - ngram + 1)]
+            for t in tok_lists
+        ]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
     total = int(lens.sum())
     if total == 0:
@@ -65,16 +76,17 @@ def encode_texts(texts: list[str] | pd.Series, dim: int = 64) -> np.ndarray:
 class HashingEncoder:
     """Encoder-protocol object (reference semhash/utils.py:13-28)."""
 
-    def __init__(self, dim: int = 64) -> None:
+    def __init__(self, dim: int = 64, ngram: int = 1) -> None:
         self.dim = dim
+        self.ngram = ngram
 
     def encode(self, sentences, **kwargs) -> np.ndarray:
         if isinstance(sentences, str):
             sentences = [sentences]
-        return encode_texts(list(sentences), self.dim)
+        return encode_texts(list(sentences), self.dim, self.ngram)
 
 
-def embed_udf(dim: int = 64):
+def embed_udf(dim: int = 64, ngram: int = 1):
     """Scalar pandas UDF: string column -> array<float> embedding.
 
     Arrow-batched; the per-batch cost is one python loop over tokens
@@ -84,20 +96,21 @@ def embed_udf(dim: int = 64):
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(s: pd.Series) -> pd.Series:
-        mat = encode_texts(s, dim)
+        mat = encode_texts(s, dim, ngram)
         return pd.Series(list(mat))
 
     return _embed
 
 
-def featurize(df, columns, dim: int = 64, out_col: str = "embedding"):
+def featurize(df, columns, dim: int = 64, out_col: str = "embedding",
+              ngram: int = 1):
     """Concatenate per-column embeddings along the feature axis.
 
     Mirrors reference ``featurize`` (semhash/utils.py:64-84): each
     declared column is encoded separately and the vectors are
     concatenated in ``columns`` order.
     """
-    udf = embed_udf(dim)
+    udf = embed_udf(dim, ngram)
     parts = [udf(F.coalesce(F.col(c), F.lit("")).cast("string")) for c in columns]
     emb = parts[0] if len(parts) == 1 else F.concat(*parts)
     return df.withColumn(out_col, emb)

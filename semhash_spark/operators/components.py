@@ -95,8 +95,14 @@ def _driver_components(spark, pdf, id_col: str) -> DataFrame:
         lab = np.minimum(lab, lab[np.searchsorted(nodes, lab)])
         if np.array_equal(lab, before):
             break
+    import pandas as pd
+
+    # Arrow path: a pandas frame serializes as columnar batches —
+    # the previous list(zip(...)) form pickled up to 5M python
+    # tuples through the row-based serializer (VERDICT r4 item 4)
     out = spark.createDataFrame(
-        list(zip(nodes.tolist(), lab.tolist())), f"{id_col} long, cluster_id long"
+        pd.DataFrame({id_col: nodes, "cluster_id": lab}),
+        schema=f"{id_col} long, cluster_id long",
     )
     return out
 

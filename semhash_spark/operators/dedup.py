@@ -86,7 +86,8 @@ def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
     if mode == "cosine":
         if cfg.embedding_col in df.columns:
             return df
-        return featurize(df, cfg.columns, cfg.embedding_dim, cfg.embedding_col)
+        return featurize(df, cfg.columns, cfg.embedding_dim, cfg.embedding_col,
+                         cfg.embedding_ngram)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -276,10 +277,14 @@ def self_deduplicate(
         persisted.append(edges)
     mark("verify", edges)
 
+    from semhash_spark.operators.components import DRIVER_CC_CAP
+
+    cc_cap = cfg.driver_cc_cap if cfg.driver_cc_cap is not None else DRIVER_CC_CAP
     cc = ck(
         f"clusters_{mode}",
         lambda: connected_components(
-            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")), id_col
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")), id_col,
+            driver_cap=cc_cap,
         ),
     )
 
@@ -566,6 +571,7 @@ def deduplicate(
         threshold=threshold,
         columns=tuple(cfg.columns),
         id_col=id_col,
+        cross=True,
         _persisted=persisted,
     )
 
@@ -631,5 +637,6 @@ def incremental_deduplicate(
         threshold=cross.threshold,
         columns=tuple(cfg.columns),
         id_col=cfg.id_col,
+        cross=True,
         _persisted=cross._persisted + intra._persisted,
     )

@@ -90,18 +90,20 @@ def test_api_incremental_smoke_cosine_fused(spark):
 
 
 def test_filtered_strings_cross_uses_exemplar_records(spark):
-    """Cross-mode exemplar ids live in the index corpus: without
-    exemplar_records every duplicate_of is NULL; with the index frame
-    passed, the real index record text renders."""
+    """Cross-mode exemplar ids live in the index corpus: calling
+    filtered_strings() without exemplar_records now raises (ADVICE
+    r4 — it used to silently render NULL duplicate_of); with the
+    index frame passed, the real index record text renders."""
+    import pytest
+
     from semhash_spark.operators.dedup import deduplicate
 
     index = _prior(spark)
     query = _new(spark)
     res = deduplicate(query, index, CFG, mode="jaccard_exact", threshold=0.7)
     try:
-        bare = {r.record_id: r.duplicate_of
-                for r in res.filtered_strings().collect()}
-        assert bare and all(v is None for v in bare.values())
+        with pytest.raises(ValueError, match="exemplar_records"):
+            res.filtered_strings()
         full = {r.record_id: r.duplicate_of
                 for r in res.filtered_strings(exemplar_records=index).collect()}
         assert full[10] == "the quick brown fox jumps over the lazy dog today"

@@ -41,7 +41,14 @@ def canary_seconds(procs: int = 8) -> float:
 
     t0 = time.perf_counter()
     with mp.Pool(procs) as p:
-        p.map(_burn, range(procs))
+        # ADVICE r4: bound the canary itself — in a steal storm the
+        # pool can take minutes; kill at 30 s (elapsed >= 30 is far
+        # out of band, so the gate treats it as a failed canary)
+        r = p.map_async(_burn, range(procs))
+        try:
+            r.get(timeout=30.0)
+        except mp.TimeoutError:
+            p.terminate()
     return time.perf_counter() - t0
 
 

@@ -141,7 +141,14 @@ def canary_seconds(procs: int = 8) -> float:
 
     t0 = _t.perf_counter()
     with mp.Pool(procs) as p:
-        p.map(_burn, range(procs))
+        # ADVICE r4: during a steal storm the canary itself can take
+        # minutes — kill the pool at 30 s and return the (far out of
+        # band) elapsed wall instead of burning the gate deadline
+        r = p.map_async(_burn, range(procs))
+        try:
+            r.get(timeout=30.0)
+        except mp.TimeoutError:
+            p.terminate()
     return _t.perf_counter() - t0
 
 
@@ -184,12 +191,21 @@ def main() -> None:
     # interleave the parallelism levels so transient tenant-load
     # spikes on the shared host hit both levels equally; keep best-of
     results: dict[int, dict] = {}
+    # ADVICE r4: every leg's canaries (kept AND discarded) go into
+    # the summary JSON so readers can audit curation without stderr
+    all_legs: list[dict] = []
     for _ in range(repeats):
         for cpus in pair:
             wait_quiet(max_load, gate_timeout)
             load0 = os.getloadavg()[0]
             r = run_once(cpus, n)
             r["load_start"] = round(load0, 1)
+            all_legs.append({
+                "cpus": cpus, "sec": r["sec"],
+                "canary_before_sec": r["canary_before_sec"],
+                "canary_after_sec": r["canary_after_sec"],
+                "load_start": r["load_start"],
+            })
             print(f"[scaling] local[{cpus}]: {r['sec']}s = {r['files_per_sec']} "
                   f"files/s (load {load0:.1f}, canary "
                   f"{r['canary_before_sec']}/{r['canary_after_sec']}s)",
@@ -240,6 +256,7 @@ def main() -> None:
             str(pair[0]): [r8["canary_before_sec"], r8["canary_after_sec"]],
             str(pair[1]): [r32["canary_before_sec"], r32["canary_after_sec"]],
         },
+        "all_legs": all_legs,
     }
     print(json.dumps(summary))
 
