@@ -72,6 +72,12 @@ class DedupConfig:
     hyperplane_bits: int = 64
     hyperplane_bands: int = 8
     hyperplane_seed: int = 42
+    # per-row neighbor cap in the FUSED cosine kernels — the
+    # reference's ANN result cap (max_k=100, semhash/index.py:59).
+    # Bounds edge emission for mega-clusters (an m-member >=θ clique
+    # emits m*max_k edges instead of m^2/2) while keeping complete
+    # sub-clusters connected for min-id CC. None = uncapped.
+    cosine_max_k: int | None = 100
 
     # --- connected components ---
     # verified-edge sets at or below this resolve on the driver

@@ -252,7 +252,8 @@ def self_deduplicate(
         edges = ck(
             f"edges_{mode}",
             lambda: cosine_threshold_edges(
-                feats, threshold, id_col, cfg.embedding_col
+                feats, threshold, id_col, cfg.embedding_col,
+                max_k=cfg.cosine_max_k,
             ),
         )
     else:
@@ -480,7 +481,7 @@ def deduplicate(
                 q_feats.select(id_col, cfg.embedding_col),
                 index_feats.select(id_col, cfg.embedding_col),
                 threshold, id_col, cfg.embedding_col,
-                ref=index_blob_ref,
+                ref=index_blob_ref, max_k=cfg.cosine_max_k,
             ).persist()
         else:
             def _hp_bands(frame):

@@ -867,14 +867,39 @@ def verify_containment(
     return scored.select(left, right, "score")
 
 
+def _cap_row_neighbors(mask, s, ids_i, max_k):
+    """Per-row top-``max_k`` neighbor cap (reference ``max_k=100``,
+    semhash/index.py:59): rows whose passing-neighbor count exceeds
+    the cap keep only the ``max_k`` highest-score neighbors
+    (deterministic tie-break: ascending neighbor id). Only oversized
+    rows pay the python loop — these are exactly the mega-cluster
+    members whose uncapped edge emission is quadratic (a 8k-member
+    boilerplate cluster emits 32M edges uncapped; 0.8M capped).
+    For a COMPLETE >=θ sub-cluster the capped a<b graph stays
+    connected (every non-max member keeps >=1 upward edge), so
+    min-id connected components are unchanged; only dense-but-
+    incomplete clusters wider than max_k can differ — the same
+    truncation the reference's ANN cap applies (SURVEY.md §2.4 J2).
+    """
+    cnt = mask.sum(axis=1)
+    for ri in np.flatnonzero(cnt > max_k):
+        cols = np.nonzero(mask[ri])[0]
+        order = np.lexsort((ids_i[cols], -s[ri, cols]))
+        mask[ri, cols[order[max_k:]]] = False
+    return mask
+
+
 def cosine_threshold_edges(
     feats: DataFrame,
     threshold: float,
     id_col: str = "record_id",
     emb_col: str = "embedding",
+    max_k: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b, score) with cosine >= threshold — fused
     candidate generation + verification via broadcast matmul.
+    ``max_k`` caps each row's emitted neighbors (reference
+    query_threshold cap; see ``_cap_row_neighbors``).
 
     The embedding table is materialized as parquet executor-side
     (``materialize_feats`` — a distributed write, NO driver
@@ -909,6 +934,8 @@ def cosine_threshold_edges(
                 s = np.where(den > 0, num / den, np.nan)
             # a < b by id; NaN comparisons are False so zero-norm drops
             mask = (s >= thr) & (a_ids[:, None] < ids_i[None, :])
+            if max_k is not None:
+                mask = _cap_row_neighbors(mask, s, ids_i, max_k)
             r, c = np.nonzero(mask)
             if len(r):
                 yield pd.DataFrame(
@@ -927,9 +954,13 @@ def cosine_cross_threshold_edges(
     id_col: str = "record_id",
     emb_col: str = "embedding",
     ref: dict | None = None,
+    max_k: int | None = None,
 ) -> DataFrame:
     """All cross pairs (query_id, index_id, score >= threshold) —
     fused candidate generation + verification for the CROSS shape.
+    ``max_k`` caps each query row's emitted matches (reference
+    query_threshold cap; cross dedup is existential, so selected/
+    filtered are unchanged — only the pairs detail truncates).
 
     The INDEX embeddings are materialized as an executor-side blob
     (distributed parquet write, mmap'd float64 matrix per worker) and
@@ -973,6 +1004,8 @@ def cosine_cross_threshold_edges(
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.where(den > 0, num / den, np.nan)
             mask = s >= thr  # NaN >= thr is False: zero-norm drops
+            if max_k is not None:
+                mask = _cap_row_neighbors(mask, s, ids_i, max_k)
             r, c = np.nonzero(mask)
             if len(r):
                 yield pd.DataFrame(

@@ -62,3 +62,56 @@ def test_cc_matches_union_find(spark, case, path):
     }
     want = _uf_components(201, edges)
     assert got == want
+
+
+def test_cc_star_equals_driver_above_cap(spark):
+    """VERDICT r4 item 3: the alternating-star path vs the driver
+    numpy path on the SAME >DRIVER_CC_CAP edge set (previously only
+    toy-sized). 6M distributedly-generated edges — a 100k-node chain
+    (worst case for label propagation, forces O(log n) star rounds)
+    plus ~5.9M random edges over 3M nodes — must produce identical
+    (node, cluster) labelings via both paths.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    n_nodes = 3_000_000
+    n_edges = int(os.environ.get("SPARK_GRAFT_CC_EDGES", "6000000"))
+    chain = 100_000
+    base = spark.range(n_edges)
+    edges = base.select(
+        F.when(F.col("id") < chain, F.col("id"))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit("a")), F.lit(n_nodes)))
+        .alias("src"),
+        F.when(F.col("id") < chain, F.col("id") + 1)
+        .otherwise(F.pmod(F.xxhash64("id", F.lit("b")), F.lit(n_nodes)))
+        .alias("dst"),
+    ).persist()
+    try:
+        n_real = edges.where(F.col("src") != F.col("dst")).count()
+        assert n_real > 5_000_000  # above DRIVER_CC_CAP — star path is real
+
+        star = connected_components(edges, driver_cap=0).persist()
+        drv = connected_components(edges, driver_cap=n_edges + 1).persist()
+        try:
+            n_star, n_drv = star.count(), drv.count()
+            assert n_star == n_drv
+            mismatch = (
+                star.alias("s")
+                .join(drv.alias("d"), "record_id")
+                .where(F.col("s.cluster_id") != F.col("d.cluster_id"))
+                .count()
+            )
+            assert mismatch == 0
+            # the chain must have collapsed to a single root (0)
+            chain_roots = (
+                star.where(F.col("record_id") < chain)
+                .select("cluster_id").distinct().collect()
+            )
+            assert [int(r["cluster_id"]) for r in chain_roots] == [0]
+        finally:
+            star.unpersist()
+            drv.unpersist()
+    finally:
+        edges.unpersist()
