@@ -137,16 +137,23 @@ def hyperplane_bands(
         x = np.vstack(
             [np.zeros(d) if e is None else np.asarray(e, dtype=np.float64) for e in v]
         )
-        signs = (x @ h[:, : x.shape[1]].T) > 0  # n x bits
         out = np.zeros((n, bands), dtype=np.uint64)
-        for b in range(bands):
-            chunk = signs[:, b * width : (b + 1) * width]
-            word = np.zeros(n, dtype=np.uint64)
-            for j in range(width):
-                word |= chunk[:, j].astype(np.uint64) << np.uint64(j)
-            # salt with band index so identical words in different
-            # bands never collide after explode
-            out[:, b] = word ^ (np.uint64(b) << np.uint64(56))
+        # row-chunk the projection so the |chunk| x bits float64
+        # product stays ~64 MB (a 50k-row Arrow batch at 2048 bits
+        # would otherwise allocate ~800 MB per worker — the page-
+        # fault storm documented in verify._chunked_threshold)
+        step = max(64, int((64 << 20) // (8 * max(bits, 1))))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            signs = (x[lo:hi] @ h[:, : x.shape[1]].T) > 0  # chunk x bits
+            for b in range(bands):
+                chunk = signs[:, b * width : (b + 1) * width]
+                word = np.zeros(hi - lo, dtype=np.uint64)
+                for j in range(width):
+                    word |= chunk[:, j].astype(np.uint64) << np.uint64(j)
+                # salt with band index so identical words in different
+                # bands never collide after explode
+                out[lo:hi, b] = word ^ (np.uint64(b) << np.uint64(56))
         rows = out.view(np.int64)
         if null.any():
             return pd.Series(

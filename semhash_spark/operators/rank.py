@@ -110,37 +110,45 @@ def _topk_broadcast(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qz = qn.ravel() <= 0
             qm = np.divide(q, qn, out=np.zeros_like(q), where=qn > 0)
-            scores = qm @ mn.T  # |batch| x |index|
-            # zero-norm on either side -> NULL semantically: exclude
-            scores[:, zn] = -np.inf
-            scores[qz, :] = -np.inf
-            if exclude_self:
-                self_mask = q_ids[:, None] == ids_i[None, :]
-                scores[self_mask] = -np.inf
-            n_idx = scores.shape[1]
-            kk = min(k, n_idx)
-            if kk < n_idx:
-                part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            else:
-                part = np.broadcast_to(np.arange(n_idx), scores.shape).copy()
-            ps = np.take_along_axis(scores, part, axis=1)
-            pid = ids_i[part]
-            # per-row (score desc, id asc) via lexsort along the last axis
-            order = np.lexsort((pid, -ps), axis=1)
-            sorted_s = np.take_along_axis(ps, order, axis=1)
-            sorted_i = np.take_along_axis(pid, order, axis=1)
-            valid = sorted_s > -np.inf
-            counts = valid.sum(axis=1)
-            if counts.sum() == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, counts),
-                    "index_id": sorted_i[valid],
-                    "score": sorted_s[valid],
-                    "rk": _ramp(counts) + 1,
-                }
-            )
+            # row-chunk so the |chunk| x |index| score block stays
+            # ~64 MB: the one-shot form allocates multi-GB
+            # temporaries per worker at a 100k+ index, which showed
+            # up as an all-core page-fault/TLB storm (see
+            # verify._chunked_threshold, round-5 bench_r5_try2)
+            n_idx = len(ids_i)
+            step = max(16, int((64 << 20) // (8 * max(n_idx, 1))))
+            for lo in range(0, len(q_ids), step):
+                hi = min(lo + step, len(q_ids))
+                scores = qm[lo:hi] @ mn.T  # |chunk| x |index|
+                # zero-norm on either side -> NULL semantically: exclude
+                scores[:, zn] = -np.inf
+                scores[qz[lo:hi], :] = -np.inf
+                if exclude_self:
+                    self_mask = q_ids[lo:hi, None] == ids_i[None, :]
+                    scores[self_mask] = -np.inf
+                kk = min(k, n_idx)
+                if kk < n_idx:
+                    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(n_idx), scores.shape).copy()
+                ps = np.take_along_axis(scores, part, axis=1)
+                pid = ids_i[part]
+                # per-row (score desc, id asc) lexsort along the last axis
+                order = np.lexsort((pid, -ps), axis=1)
+                sorted_s = np.take_along_axis(ps, order, axis=1)
+                sorted_i = np.take_along_axis(pid, order, axis=1)
+                valid = sorted_s > -np.inf
+                counts = valid.sum(axis=1)
+                if counts.sum() == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[lo:hi], counts),
+                        "index_id": sorted_i[valid],
+                        "score": sorted_s[valid],
+                        "rk": _ramp(counts) + 1,
+                    }
+                )
 
     return query_feats.select(id_col, emb_col).mapInPandas(
         compute, "query_id long, index_id long, score double, rk long"

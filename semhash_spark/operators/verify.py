@@ -867,24 +867,63 @@ def verify_containment(
     return scored.select(left, right, "score")
 
 
-def _cap_row_neighbors(mask, s, ids_i, max_k):
+def _chunked_threshold(q_ids, q, qn, ids_i, mat, nrm, thr, max_k,
+                       self_mode, chunk_bytes=64 << 20):
+    """Row-chunked threshold matmul for the fused kernels.
+
+    The one-shot form materialized the FULL |batch| x |index| float64
+    similarity matrix (2.5 GB at 3125 x 100k) plus ~4x temporaries in
+    EVERY worker simultaneously — on this host that was a page-
+    fault/TLB-shootdown storm (32 workers >99% SYSTEM time, ~0% user,
+    zero progress; round-5 log bench_r5_try2). Chunking rows so the
+    score block stays ~64 MB keeps each worker's working set resident
+    and the allocator reusing the same arena. Yields
+    (global_row_idx, col_idx, scores) per chunk; semantics identical
+    to the one-shot form (per-row max_k capping is chunk-local
+    because the cap is per ROW and every chunk holds whole rows).
+    """
+    n_idx = max(len(ids_i), 1)
+    step = max(16, int(chunk_bytes // (8 * n_idx)))
+    for lo in range(0, len(q_ids), step):
+        hi = min(lo + step, len(q_ids))
+        num = q[lo:hi] @ mat.T
+        den = qn[lo:hi, None] * nrm[None, :]
+        # threshold WITHOUT dividing the full matrix: num >= thr*den
+        # with a den>0 guard is equivalent to (num/den >= thr) for
+        # positive den and excludes zero-norm rows exactly like the
+        # old NaN semantics — and skipping the |chunk| x |index|
+        # divide+where pass is a measured 27x on this kernel (the
+        # division happens only on the PASSING pairs below)
+        mask = (num >= thr * den) & (den > 0)
+        if self_mode:
+            mask &= q_ids[lo:hi, None] < ids_i[None, :]
+        if max_k is not None:
+            mask = _cap_row_neighbors_sparse(mask, num, den, ids_i, max_k)
+        r, c = np.nonzero(mask)
+        if len(r):
+            yield r + lo, c, num[r, c] / den[r, c]
+
+
+def _cap_row_neighbors_sparse(mask, num, den, ids_i, max_k):
     """Per-row top-``max_k`` neighbor cap (reference ``max_k=100``,
     semhash/index.py:59): rows whose passing-neighbor count exceeds
     the cap keep only the ``max_k`` highest-score neighbors
-    (deterministic tie-break: ascending neighbor id). Only oversized
-    rows pay the python loop — these are exactly the mega-cluster
-    members whose uncapped edge emission is quadratic (a 8k-member
-    boilerplate cluster emits 32M edges uncapped; 0.8M capped).
-    For a COMPLETE >=θ sub-cluster the capped a<b graph stays
-    connected (every non-max member keeps >=1 upward edge), so
-    min-id connected components are unchanged; only dense-but-
-    incomplete clusters wider than max_k can differ — the same
-    truncation the reference's ANN cap applies (SURVEY.md §2.4 J2).
+    (deterministic tie-break: ascending neighbor id). Scores are
+    divided out only for the oversized rows' passing columns — these
+    are exactly the mega-cluster members whose uncapped edge
+    emission is quadratic (a 8k-member boilerplate cluster emits 32M
+    edges uncapped; 0.8M capped). For a COMPLETE >=θ sub-cluster the
+    capped a<b graph stays connected (every non-max member keeps
+    >=1 upward edge), so min-id connected components are unchanged;
+    only dense-but-incomplete clusters wider than max_k can differ —
+    the same truncation the reference's ANN cap applies
+    (SURVEY.md §2.4 J2).
     """
     cnt = mask.sum(axis=1)
     for ri in np.flatnonzero(cnt > max_k):
         cols = np.nonzero(mask[ri])[0]
-        order = np.lexsort((ids_i[cols], -s[ri, cols]))
+        sc = num[ri, cols] / den[ri, cols]
+        order = np.lexsort((ids_i[cols], -sc))
         mask[ri, cols[order[max_k:]]] = False
     return mask
 
@@ -928,18 +967,11 @@ def cosine_threshold_edges(
             a_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
             qn = np.linalg.norm(q, axis=1)
-            den = qn[:, None] * nrm[None, :]
-            num = q @ mat.T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = np.where(den > 0, num / den, np.nan)
-            # a < b by id; NaN comparisons are False so zero-norm drops
-            mask = (s >= thr) & (a_ids[:, None] < ids_i[None, :])
-            if max_k is not None:
-                mask = _cap_row_neighbors(mask, s, ids_i, max_k)
-            r, c = np.nonzero(mask)
-            if len(r):
+            for r_g, c, sc in _chunked_threshold(
+                a_ids, q, qn, ids_i, mat, nrm, thr, max_k, self_mode=True
+            ):
                 yield pd.DataFrame(
-                    {"a": a_ids[r], "b": ids_i[c], "score": s[r, c]}
+                    {"a": a_ids[r_g], "b": ids_i[c], "score": sc}
                 )
 
     return feats.select(id_col, emb_col).mapInPandas(
@@ -999,17 +1031,11 @@ def cosine_cross_threshold_edges(
             q_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
             qn = np.linalg.norm(q, axis=1)
-            den = qn[:, None] * nrm[None, :]
-            num = q @ mat.T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = np.where(den > 0, num / den, np.nan)
-            mask = s >= thr  # NaN >= thr is False: zero-norm drops
-            if max_k is not None:
-                mask = _cap_row_neighbors(mask, s, ids_i, max_k)
-            r, c = np.nonzero(mask)
-            if len(r):
+            for r_g, c, sc in _chunked_threshold(
+                q_ids, q, qn, ids_i, mat, nrm, thr, max_k, self_mode=False
+            ):
                 yield pd.DataFrame(
-                    {"query_id": q_ids[r], "index_id": ids_i[c], "score": s[r, c]}
+                    {"query_id": q_ids[r_g], "index_id": ids_i[c], "score": sc}
                 )
 
     return query_feats.select(id_col, emb_col).mapInPandas(
@@ -1025,8 +1051,29 @@ def verify_cosine(
     threshold: float | None = None,
     left: str = "a",
     right: str = "b",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Score pairs with exact cosine similarity of embeddings."""
+    """Score pairs with exact cosine similarity of embeddings.
+
+    ``auto``: when blob transport is available and the feature table
+    fits the executor byte cap, candidate ids ship 16 bytes/pair
+    through Arrow and score against the mmap'd float64 matrix — one
+    vectorized gather + einsum per batch. The join form rehydrates
+    two 128-float arrays per pair and evaluates the cosine as
+    INTERPRETED JVM higher-order lambdas, which is ~2 orders slower
+    at millions of candidates (round-5: 4M hyperplane candidates at
+    30k rows took 276 s join-form; the same shape scores in seconds
+    via the blob — the identical strategy split verify_jaccard has
+    had since round 2). ``join`` forces the fallback (no blob dir on
+    a cluster master, or oversized feature tables).
+    """
+    spark = pairs.sparkSession
+    if strategy != "join" and blob_transport_available(spark):
+        _, nbytes = _feat_bytes(feats, feat_col)
+        if strategy == "blob" or nbytes <= VERIFY_BROADCAST_MAX_BYTES:
+            return _verify_cosine_blob(
+                pairs, feats, feat_col, id_col, threshold, left, right
+            )
     fa = feats.select(F.col(id_col).alias(left), F.col(feat_col).alias("_fa"))
     fb = feats.select(F.col(id_col).alias(right), F.col(feat_col).alias("_fb"))
     j = pairs.join(fa, left).join(fb, right)
@@ -1034,3 +1081,61 @@ def verify_cosine(
     if threshold is not None:
         scored = scored.where(F.col("score") >= threshold)
     return scored
+
+
+def _verify_cosine_blob(
+    pairs: DataFrame,
+    feats: DataFrame,
+    feat_col: str,
+    id_col: str,
+    threshold: float | None,
+    left: str,
+    right: str,
+) -> DataFrame:
+    """Blob-transport exact-cosine scoring (see verify_cosine).
+
+    Pairs whose ids are absent from ``feats`` drop (the join form's
+    inner-join semantics); zero-norm sides never pass a threshold
+    and score NaN without one (NULL-cosine semantics)."""
+    ref = materialize_feats(feats, id_col, feat_col, "cosverify")
+    thr = None if threshold is None else float(threshold)
+
+    def score(batches):
+        ids_i, mat, nrm = load_feats_matrix(ref)
+        order = np.argsort(ids_i, kind="stable")
+        sorted_ids = ids_i[order]
+
+        def locate(x):
+            p = np.searchsorted(sorted_ids, x)
+            p = np.clip(p, 0, max(len(sorted_ids) - 1, 0))
+            ok = (sorted_ids[p] == x) if len(sorted_ids) else np.zeros(len(x), bool)
+            return order[p], ok
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_i) == 0:
+                continue
+            a = pdf[left].to_numpy(np.int64)
+            b = pdf[right].to_numpy(np.int64)
+            ia, oka = locate(a)
+            ib, okb = locate(b)
+            ok = oka & okb
+            if not ok.all():
+                a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            if len(a) == 0:
+                continue
+            num = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            den = nrm[ia] * nrm[ib]
+            if thr is None:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(den > 0, num / den, np.nan)
+                yield pd.DataFrame({left: a, right: b, "score": s})
+            else:
+                m = (den > 0) & (num >= thr * den)
+                if m.any():
+                    yield pd.DataFrame(
+                        {left: a[m], right: b[m], "score": num[m] / den[m]}
+                    )
+
+    return pairs.select(left, right).mapInPandas(
+        score, f"{left} long, {right} long, score double"
+    )

@@ -39,6 +39,19 @@ def get_spark(
     # destroys scaling
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # keep numpy's big transient buffers IN the malloc arena instead
+    # of mmap/munmap per allocation: with N workers each cycling
+    # ~64 MB chunk buffers (verify._chunked_threshold), per-free
+    # munmap caused a kernel-side page-fault + THP-compaction storm
+    # (khugepaged/kcompactd topping CPU, >90% system time, round-5
+    # bench_r5_try2). Trailing underscore = fixed, no dynamic adjust.
+    _malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(256 * 1024 * 1024),
+        "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+        "MALLOC_ARENA_MAX": "2",
+    }
+    for var, val in _malloc_env.items():
+        os.environ.setdefault(var, val)
 
     b = (
         SparkSession.builder.master(master)
@@ -46,6 +59,11 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                str(256 * 1024 * 1024))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                str(256 * 1024 * 1024))
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
