@@ -85,6 +85,25 @@ def _canary_seconds(procs: int = 8, timeout: float = 30.0) -> float:
     return time.perf_counter() - t0
 
 
+def _membw_canary_seconds() -> float:
+    """Memory-bandwidth canary: wall seconds to copy 100 MB once.
+
+    Round 5 found a THIRD degradation regime the ALU canary is blind
+    to: /proc/stat 96% idle, ALU canary 1.29 s (healthy), yet
+    single-threaded memcpy collapsed to 6-15 MB/s — np.copy of
+    102 MB took 6-16 s and every page-fault-heavy stage (blob pack,
+    Arrow decode, fresh allocations) died with it while compute on
+    resident buffers ran full speed. Healthy ≈ 0.01-0.05 s; anything
+    over ~0.5 s means the window is unusable for benching."""
+    import numpy as np
+
+    a = np.empty(100_000_000, dtype=np.uint8)
+    a.fill(1)  # fault in once, outside the timed copy
+    t0 = time.perf_counter()
+    a.copy()
+    return time.perf_counter() - t0
+
+
 def run_suite(sf_dir: str, cpus: int, sf: float, corpus_n: int) -> dict:
     """One full suite pass. Creates and STOPS its own SparkSession;
     returns the result dict (canary fields are added by the gate)."""
@@ -332,23 +351,32 @@ def main() -> None:
     accepted: dict | None = None
     best_out: dict | None = None
 
+    membw_max = float(os.environ.get("SPARK_GRAFT_MEMBW_MAX", "0.5"))
     while True:
         c0 = _canary_seconds()
-        if gate_on and c0 > canary_max and time.monotonic() < deadline - 120:
-            waits.append(round(c0, 2))
-            print(f"[bench] canary {c0:.2f}s out of band (> {canary_max}), "
-                  f"waiting for a quiet window", file=sys.stderr)
+        m0 = _membw_canary_seconds()
+        if gate_on and (c0 > canary_max or m0 > membw_max) \
+                and time.monotonic() < deadline - 120:
+            waits.append(round(max(c0, m0), 2))
+            print(f"[bench] canary {c0:.2f}s / membw {m0:.2f}s out of band "
+                  f"(> {canary_max}/{membw_max}), waiting for a quiet window",
+                  file=sys.stderr)
             time.sleep(20)
             continue
         out = run_suite(sf_dir, cpus, sf, corpus_n)
         # ADVICE r4: measure canary_after AFTER spark.stop() so both
         # canaries run under the same conditions (no live 32-core JVM)
         c1 = _canary_seconds()
+        m1 = _membw_canary_seconds()
         out["canary_before_sec"] = round(c0, 2)
         out["canary_after_sec"] = round(c1, 2)
+        out["membw_before_sec"] = round(m0, 2)
+        out["membw_after_sec"] = round(m1, 2)
         in_band = (
             c0 <= canary_max
             and c1 <= canary_max
+            and m0 <= membw_max
+            and m1 <= membw_max
             and (suite_band <= 0 or out["value"] <= suite_band)
         )
         attempts.append({
@@ -356,11 +384,14 @@ def main() -> None:
             "flagship_sec": out["queries"]["corpus_selfdedup"],
             "canary_before_sec": out["canary_before_sec"],
             "canary_after_sec": out["canary_after_sec"],
+            "membw_before_sec": out["membw_before_sec"],
+            "membw_after_sec": out["membw_after_sec"],
             "load1_end": out["load1_end"],
             "in_band": in_band,
         })
         print(f"[bench] attempt {len(attempts)}: suite {out['value']:.1f}s "
-              f"canaries {c0:.2f}/{c1:.2f}s in_band={in_band}", file=sys.stderr)
+              f"canaries {c0:.2f}/{c1:.2f}s membw {m0:.2f}/{m1:.2f}s "
+              f"in_band={in_band}", file=sys.stderr)
         if best_out is None or out["value"] < best_out["value"]:
             best_out = out
         if in_band or not gate_on:
@@ -376,6 +407,7 @@ def main() -> None:
     accepted["gate"] = {
         "enabled": gate_on,
         "canary_max_sec": canary_max,
+        "membw_max_sec": membw_max,
         "suite_band_sec": suite_band,
         "pre_wait_canaries_sec": waits,
         "attempts": attempts,

@@ -140,12 +140,20 @@ def hyperplane_bands(
         out = np.zeros((n, bands), dtype=np.uint64)
         # row-chunk the projection so the |chunk| x bits float64
         # product stays ~64 MB (a 50k-row Arrow batch at 2048 bits
-        # would otherwise allocate ~800 MB per worker — the page-
-        # fault storm documented in verify._chunked_threshold)
-        step = max(64, int((64 << 20) // (8 * max(bits, 1))))
+        # would otherwise allocate ~800 MB per worker), and reuse ONE
+        # preallocated output: fresh >32 MB buffers come from mmap
+        # whose first-touch faults make the gemm 16x slower on this
+        # host (see verify._chunked_threshold)
+        step = max(64, int((16 << 20) // (8 * max(bits, 1))))
+        hT = np.ascontiguousarray(h[:, : x.shape[1]].T)
+        pbuf = np.empty((min(step, n), bits))
+        sbuf = np.empty(pbuf.shape, dtype=bool)
         for lo in range(0, n, step):
             hi = min(lo + step, n)
-            signs = (x[lo:hi] @ h[:, : x.shape[1]].T) > 0  # chunk x bits
+            proj = pbuf[: hi - lo]
+            signs = sbuf[: hi - lo]
+            np.dot(x[lo:hi], hT, out=proj)
+            np.greater(proj, 0, out=signs)
             for b in range(bands):
                 chunk = signs[:, b * width : (b + 1) * width]
                 word = np.zeros(hi - lo, dtype=np.uint64)

@@ -89,16 +89,24 @@ def _topk_broadcast(
     ``sc.broadcast``, whose ~100 MB pickle re-streams per task,
     measured ~10 s/task at local[32]); per-batch top-k is fully
     vectorized (2-D argpartition + row-wise lexsort)."""
-    from semhash_spark.operators.verify import load_feats_matrix, materialize_feats
+    from semhash_spark.operators.verify import (
+        load_feats_matrix_normalized_T,
+        materialize_feats,
+    )
 
     ref = materialize_feats(index_feats, id_col, emb_col, "topk")
 
     def compute(batches):
         from semhash_spark.operators.verify import _ramp
 
-        ids_i, mat, nrm = load_feats_matrix(ref)
-        zn = nrm <= 0
-        mn = np.divide(mat, nrm[:, None], out=np.zeros_like(mat), where=nrm[:, None] > 0)
+        # normalized TRANSPOSED (dim x n) matrix cached once per
+        # executor — the layout gemm wants (see verify loaders)
+        ids_i, mnT, nz = load_feats_matrix_normalized_T(ref)
+        zn = ~nz
+        n_idx = len(ids_i)
+        step = max(16, int((16 << 20) // (8 * max(n_idx, 1))))
+        buf = np.empty((step, max(n_idx, 1)))
+        ebuf = np.empty(buf.shape, dtype=bool) if exclude_self else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -109,23 +117,23 @@ def _topk_broadcast(
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qz = qn.ravel() <= 0
-            qm = np.divide(q, qn, out=np.zeros_like(q), where=qn > 0)
+            qm = np.divide(q, qn, out=q, where=qn > 0)
             # row-chunk so the |chunk| x |index| score block stays
-            # ~64 MB: the one-shot form allocates multi-GB
-            # temporaries per worker at a 100k+ index, which showed
-            # up as an all-core page-fault/TLB storm (see
-            # verify._chunked_threshold, round-5 bench_r5_try2)
-            n_idx = len(ids_i)
-            step = max(16, int((64 << 20) // (8 * max(n_idx, 1))))
+            # ~64 MB, and reuse ONE preallocated output buffer: a
+            # fresh 64 MB gemm output per chunk is 16x slower on this
+            # host (mmap first-touch faults + THP compaction; see
+            # verify._chunked_threshold)
             for lo in range(0, len(q_ids), step):
                 hi = min(lo + step, len(q_ids))
-                scores = qm[lo:hi] @ mn.T  # |chunk| x |index|
+                scores = buf[: hi - lo]
+                np.dot(qm[lo:hi], mnT, out=scores)
                 # zero-norm on either side -> NULL semantically: exclude
                 scores[:, zn] = -np.inf
                 scores[qz[lo:hi], :] = -np.inf
                 if exclude_self:
-                    self_mask = q_ids[lo:hi, None] == ids_i[None, :]
-                    scores[self_mask] = -np.inf
+                    sm = ebuf[: hi - lo]
+                    np.equal(q_ids[lo:hi, None], ids_i[None, :], out=sm)
+                    scores[sm] = -np.inf
                 kk = min(k, n_idx)
                 if kk < n_idx:
                     part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]

@@ -550,6 +550,62 @@ def load_feats_matrix(ref: dict):
     return _pack_once_per_executor(ref, "mat", build)
 
 
+def load_feats_matrix_normalized(ref: dict):
+    """Worker-side: (ids, row-normalized float64 matrix, nonzero-norm
+    mask) — cached once per executor like ``load_feats_matrix``.
+    Zero-norm rows stay all-zero (their cosine with anything is 0
+    after normalization, which the threshold kernels exploit: any
+    thr > 0 excludes them with no explicit mask pass). Normalizing
+    ONCE here turns the per-chunk ``num/den`` arithmetic of the fused
+    kernels into a single gemm — the |chunk| x |index| ``den``
+    multiply and divide passes were 2 extra 64 MB temporaries per
+    chunk, and >32 MB allocations always come from mmap (glibc clamps
+    MMAP_THRESHOLD at 32 MB), so each was a fresh page-fault storm on
+    this host (measured 16x on the gemm itself; see
+    ``_chunked_threshold``)."""
+
+    def build():
+        ids, mat, nrm = load_feats_matrix(ref)
+        nz = nrm > 0
+        matn = np.divide(mat, nrm[:, None], out=np.zeros_like(mat),
+                         where=nrm[:, None] > 0)
+        return (ids, matn, nz)
+
+    return _pack_once_per_executor(ref, "matn", build)
+
+
+def load_feats_matrix_normalized_f32(ref: dict):
+    """float32 TRANSPOSED (dim x n, C-contiguous) copy of the
+    normalized matrix, cached per executor — the fused scan's gemm
+    B operand in the exact layout sgemm wants (measured 3.6x vs
+    feeding the ``.T`` view of the row-major matrix). The 100k x 100k
+    scan at local[32] is memory-bandwidth-bound (32 workers streaming
+    64 MB score blocks against a shared single-socket bus), so
+    halving the operand and output traffic is ~2x wall on top;
+    exactness is preserved because the scan only SELECTS candidates
+    at ``thr - margin`` and every survivor is re-scored in float64
+    (``_chunked_threshold``)."""
+
+    def build():
+        ids, matn, nz = load_feats_matrix_normalized(ref)
+        return (ids, matn.T.astype(np.float32), nz)
+
+    return _pack_once_per_executor(ref, "matn32t", build)
+
+
+def load_feats_matrix_normalized_T(ref: dict):
+    """float64 TRANSPOSED (dim x n, C-contiguous) normalized matrix,
+    cached per executor — the exact-top-k gemm B operand (same 3.6x
+    layout win as the f32 variant; top-k selection must stay float64
+    because the ORDER near the k-th boundary is the result)."""
+
+    def build():
+        ids, matn, nz = load_feats_matrix_normalized(ref)
+        return (ids, matn.T, nz)
+
+    return _pack_once_per_executor(ref, "matnt", build)
+
+
 def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:
     """(row_count, estimated payload bytes) of an (id, array) table —
     one aggregate job; 8 bytes per element + 16/row overhead."""
@@ -867,63 +923,122 @@ def verify_containment(
     return scored.select(left, right, "score")
 
 
-def _chunked_threshold(q_ids, q, qn, ids_i, mat, nrm, thr, max_k,
-                       self_mode, chunk_bytes=64 << 20):
-    """Row-chunked threshold matmul for the fused kernels.
+_F32_MARGIN = 1e-5
 
-    The one-shot form materialized the FULL |batch| x |index| float64
+
+def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
+                       self_mode, chunk_bytes=16 << 20):
+    """Row-chunked threshold gemm for the fused kernels, over
+    PRE-NORMALIZED rows on both sides (``load_feats_matrix_normalized``;
+    callers normalize the query batch in place).
+
+    Two measured pathologies shaped this kernel (round 5, 100k x 100k):
+    the one-shot form materialized the FULL |batch| x |index| float64
     similarity matrix (2.5 GB at 3125 x 100k) plus ~4x temporaries in
-    EVERY worker simultaneously — on this host that was a page-
-    fault/TLB-shootdown storm (32 workers >99% SYSTEM time, ~0% user,
-    zero progress; round-5 log bench_r5_try2). Chunking rows so the
-    score block stays ~64 MB keeps each worker's working set resident
-    and the allocator reusing the same arena. Yields
-    (global_row_idx, col_idx, scores) per chunk; semantics identical
-    to the one-shot form (per-row max_k capping is chunk-local
-    because the cap is per ROW and every chunk holds whole rows).
+    EVERY worker simultaneously — a page-fault/TLB-shootdown storm
+    (32 workers >99% SYSTEM time, ~0% user; bench_r5_try2). And even
+    chunked, a FRESH output per gemm call is 16x slower than a
+    reused buffer (884 ms vs 55 ms per 80x100k chunk): glibc clamps
+    MMAP_THRESHOLD at 32 MB, so every big temporary is a fresh mmap
+    whose first-touch faults + THP compaction dominate the gemm.
+    Hence: preallocated score/mask/compare buffers +
+    ``np.dot(..., out=)``, and pre-normalized operands so there is no
+    |chunk| x |index| den multiply/divide at all — scores come
+    straight out of the gemm. Chunk size is measured-tuned: at 32-way
+    concurrency the full 100k x 100k scan walls 4.8 s with 16 MB
+    chunks vs 14.5 s at 64 MB (page pressure) and 6.5 s at 8 MB
+    (gemm M too thin).
+
+    Zero-norm rows are all-zero after normalization, so they score
+    exactly 0.0 and any thr > 0 excludes them for free; thr <= 0
+    masks them explicitly (NULL-cosine semantics). Yields
+    (global_row_idx, col_idx, scores) per chunk; per-row max_k
+    capping is chunk-local because the cap is per ROW and every chunk
+    holds whole rows.
+
+    The scan itself runs in float32 (half the bandwidth, 2x sgemm —
+    the scan is bus-bound at local[32], so this is ~2x wall) against
+    ``thr - _F32_MARGIN``; every surviving pair is re-scored in
+    float64, so the EMITTED edge set and scores are exactly the
+    float64 ones. The margin (1e-5) dominates the float32 dot's worst
+    error (~sqrt(dim) * 2^-24 ~ 1e-6 for unit rows), so no true pair
+    is lost.
     """
     n_idx = max(len(ids_i), 1)
-    step = max(16, int(chunk_bytes // (8 * n_idx)))
+    qm32 = qm.astype(np.float32)
+    m32T = matn32  # already (dim x n) C-contiguous from the pack
+    step = max(16, int(chunk_bytes // (4 * n_idx)))
+    buf = np.empty((min(step, len(q_ids)), n_idx), dtype=np.float32)
+    mbuf = np.empty(buf.shape, dtype=bool)
+    sbuf = np.empty(buf.shape, dtype=bool) if self_mode else None
     for lo in range(0, len(q_ids), step):
         hi = min(lo + step, len(q_ids))
-        num = q[lo:hi] @ mat.T
-        den = qn[lo:hi, None] * nrm[None, :]
-        # threshold WITHOUT dividing the full matrix: num >= thr*den
-        # with a den>0 guard is equivalent to (num/den >= thr) for
-        # positive den and excludes zero-norm rows exactly like the
-        # old NaN semantics — and skipping the |chunk| x |index|
-        # divide+where pass is a measured 27x on this kernel (the
-        # division happens only on the PASSING pairs below)
-        mask = (num >= thr * den) & (den > 0)
+        out = buf[: hi - lo]
+        mask = mbuf[: hi - lo]
+        np.dot(qm32[lo:hi], m32T, out=out)
+        np.greater_equal(out, np.float32(thr - _F32_MARGIN), out=mask)
+        if thr <= 0:
+            # normalized zero-norm rows score 0.0, which a
+            # non-positive threshold would wrongly admit
+            mask &= nz_i[None, :]
+            mask[qz[lo:hi]] = False
         if self_mode:
-            mask &= q_ids[lo:hi, None] < ids_i[None, :]
-        if max_k is not None:
-            mask = _cap_row_neighbors_sparse(mask, num, den, ids_i, max_k)
+            # preallocated out= — a fresh |chunk| x |index| bool per
+            # chunk was 6.8 s/partition of pure fault handling under
+            # 32-way concurrency (same pathology as the score buffer)
+            sm = sbuf[: hi - lo]
+            np.less(q_ids[lo:hi, None], ids_i[None, :], out=sm)
+            mask &= sm
         r, c = np.nonzero(mask)
+        if len(r) == 0:
+            continue
+        # exact float64 rescore of the scan's survivors only
+        s = np.einsum("ij,ij->i", qm[lo + r], matn[c])
+        keep = s >= thr
+        r, c, s = r[keep], c[keep], s[keep]
+        if max_k is not None and len(r):
+            r, c, s = _cap_rows_sparse(r, c, s, ids_i, max_k)
         if len(r):
-            yield r + lo, c, num[r, c] / den[r, c]
+            yield r + lo, c, s
 
 
-def _cap_row_neighbors_sparse(mask, num, den, ids_i, max_k):
+def _cap_rows_sparse(r, c, s, ids_i, max_k):
+    """Per-row top-``max_k`` cap on sparse (row, col, score) triplets
+    (r non-decreasing — np.nonzero row-major order). Same semantics
+    as ``_cap_row_neighbors``: oversized rows keep the ``max_k``
+    highest-score neighbors, ties broken by ascending neighbor id."""
+    counts = np.bincount(r)
+    if (counts <= max_k).all():
+        return r, c, s
+    keep = np.ones(len(r), dtype=bool)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    for ri in np.flatnonzero(counts > max_k):
+        sl = slice(starts[ri], starts[ri + 1])
+        order = np.lexsort((ids_i[c[sl]], -s[sl]))
+        kmask = np.zeros(int(counts[ri]), dtype=bool)
+        kmask[order[:max_k]] = True
+        keep[sl] = kmask
+    return r[keep], c[keep], s[keep]
+
+
+def _cap_row_neighbors(mask, s, ids_i, max_k):
     """Per-row top-``max_k`` neighbor cap (reference ``max_k=100``,
     semhash/index.py:59): rows whose passing-neighbor count exceeds
     the cap keep only the ``max_k`` highest-score neighbors
-    (deterministic tie-break: ascending neighbor id). Scores are
-    divided out only for the oversized rows' passing columns — these
-    are exactly the mega-cluster members whose uncapped edge
-    emission is quadratic (a 8k-member boilerplate cluster emits 32M
-    edges uncapped; 0.8M capped). For a COMPLETE >=θ sub-cluster the
-    capped a<b graph stays connected (every non-max member keeps
-    >=1 upward edge), so min-id connected components are unchanged;
-    only dense-but-incomplete clusters wider than max_k can differ —
-    the same truncation the reference's ANN cap applies
-    (SURVEY.md §2.4 J2).
+    (deterministic tie-break: ascending neighbor id). Only oversized
+    rows pay the python loop — these are exactly the mega-cluster
+    members whose uncapped edge emission is quadratic (a 8k-member
+    boilerplate cluster emits 32M edges uncapped; 0.8M capped). For a
+    COMPLETE >=θ sub-cluster the capped a<b graph stays connected
+    (every non-max member keeps >=1 upward edge), so min-id connected
+    components are unchanged; only dense-but-incomplete clusters
+    wider than max_k can differ — the same truncation the reference's
+    ANN cap applies (SURVEY.md §2.4 J2).
     """
     cnt = mask.sum(axis=1)
     for ri in np.flatnonzero(cnt > max_k):
         cols = np.nonzero(mask[ri])[0]
-        sc = num[ri, cols] / den[ri, cols]
-        order = np.lexsort((ids_i[cols], -sc))
+        order = np.lexsort((ids_i[cols], -s[ri, cols]))
         mask[ri, cols[order[max_k:]]] = False
     return mask
 
@@ -955,7 +1070,8 @@ def cosine_threshold_edges(
     thr = float(threshold)
 
     def edges(batches):
-        ids_i, mat, nrm = load_feats_matrix(ref)
+        ids_i, matn, nz_i = load_feats_matrix_normalized(ref)
+        _, matn32, _ = load_feats_matrix_normalized_f32(ref)
         for pdf_b in batches:
             if len(pdf_b) == 0:
                 continue
@@ -966,9 +1082,11 @@ def cosine_threshold_edges(
                     continue
             a_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
-            qn = np.linalg.norm(q, axis=1)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qm = np.divide(q, qn, out=q, where=qn > 0)  # zero rows stay 0
             for r_g, c, sc in _chunked_threshold(
-                a_ids, q, qn, ids_i, mat, nrm, thr, max_k, self_mode=True
+                a_ids, qm, qn.ravel() <= 0, ids_i, matn, matn32, nz_i, thr,
+                max_k, self_mode=True,
             ):
                 yield pd.DataFrame(
                     {"a": a_ids[r_g], "b": ids_i[c], "score": sc}
@@ -1019,7 +1137,8 @@ def cosine_cross_threshold_edges(
     thr = float(threshold)
 
     def edges(batches):
-        ids_i, mat, nrm = load_feats_matrix(ref)
+        ids_i, matn, nz_i = load_feats_matrix_normalized(ref)
+        _, matn32, _ = load_feats_matrix_normalized_f32(ref)
         for pdf_b in batches:
             if len(pdf_b) == 0 or len(ids_i) == 0:
                 continue
@@ -1030,9 +1149,11 @@ def cosine_cross_threshold_edges(
                     continue
             q_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
             q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_b[emb_col]])
-            qn = np.linalg.norm(q, axis=1)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qm = np.divide(q, qn, out=q, where=qn > 0)
             for r_g, c, sc in _chunked_threshold(
-                q_ids, q, qn, ids_i, mat, nrm, thr, max_k, self_mode=False
+                q_ids, qm, qn.ravel() <= 0, ids_i, matn, matn32, nz_i, thr,
+                max_k, self_mode=False,
             ):
                 yield pd.DataFrame(
                     {"query_id": q_ids[r_g], "index_id": ids_i[c], "score": sc}

@@ -54,6 +54,19 @@ def canary_seconds(procs: int = 8, timeout: float = 30.0) -> float:
     return time.perf_counter() - t0
 
 
+def membw_canary_seconds() -> float:
+    """Seconds to copy 100 MB once (healthy 0.01-0.05 s) — catches
+    the round-5 memory-bandwidth collapse regime that the ALU canary
+    and loadavg both miss (memcpy at 6-15 MB/s while 96% idle)."""
+    import numpy as np
+
+    a = np.empty(100_000_000, dtype=np.uint8)
+    a.fill(1)
+    t0 = time.perf_counter()
+    a.copy()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n", nargs="?", type=int, default=1_000_000)
@@ -92,6 +105,7 @@ def main() -> None:
         cfg = cfg.with_(driver_cc_cap=0)
 
     c0 = canary_seconds()
+    m0 = membw_canary_seconds()
     spark = get_spark("flagship_scale", cores=cpus,
                       shuffle_partitions=max(8, cpus))
     corpus = generate_corpus(spark, args.n)
@@ -130,6 +144,7 @@ def main() -> None:
               f"sel={n_sel} fil={n_fil}", file=sys.stderr)
     spark.stop()
     c1 = canary_seconds()
+    m1 = membw_canary_seconds()
 
     best = min(r["sec"] for r in runs)
     print(json.dumps({
@@ -139,6 +154,7 @@ def main() -> None:
         "n_selected": n_sel, "n_filtered": n_fil,
         "runs": runs,
         "canary_before_sec": round(c0, 2), "canary_after_sec": round(c1, 2),
+        "membw_before_sec": round(m0, 2), "membw_after_sec": round(m1, 2),
     }))
 
 

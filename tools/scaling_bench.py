@@ -124,6 +124,25 @@ def _burn(_):
     return x
 
 
+def membw_canary_seconds() -> float:
+    """Memory-bandwidth canary: seconds to copy 100 MB once (healthy
+    0.01-0.05 s). Round 5 found a THIRD degradation regime invisible
+    to loadavg AND the ALU canary: 96% idle, ALU canary healthy, yet
+    single-threaded memcpy collapsed to 6-15 MB/s — page-fault-heavy
+    stages (blob pack, Arrow decode) die with it while compute on
+    resident buffers runs full speed. Legs record it; curation
+    discards legs whose membw canary is off-band."""
+    import time as _t
+
+    import numpy as np
+
+    a = np.empty(100_000_000, dtype=np.uint8)
+    a.fill(1)
+    t0 = _t.perf_counter()
+    a.copy()
+    return _t.perf_counter() - t0
+
+
 def canary_seconds(procs: int = 8) -> float:
     """Delivered-compute canary: wall seconds for `procs` concurrent
     10M-iteration python loops. Healthy window: ~1.3-1.6 s at any
@@ -157,6 +176,7 @@ def run_once(cpus: int, n: int) -> dict:
     # tenant occupancy that starves a 32-core footprint (window r2)
     procs = max(8, cpus)
     canary0 = canary_seconds(procs)
+    membw0 = membw_canary_seconds()
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(n)],
         capture_output=True, text=True, timeout=3600,
@@ -167,6 +187,8 @@ def run_once(cpus: int, n: int) -> dict:
             r = json.loads(line[len("RESULT "):])
             r["canary_before_sec"] = round(canary0, 2)
             r["canary_after_sec"] = round(canary_seconds(procs), 2)
+            r["membw_before_sec"] = round(membw0, 2)
+            r["membw_after_sec"] = round(membw_canary_seconds(), 2)
             r["canary_procs"] = procs
             return r
     raise RuntimeError(f"no RESULT line (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")

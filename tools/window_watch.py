@@ -38,9 +38,29 @@ def main() -> None:
             "steal_pct": round(d[7] / tot * 100, 1) if len(d) > 7 else None,
             "load1": round(os.getloadavg()[0], 1),
         }
+        rec["membw_mbps"] = membw_mbps()
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         time.sleep(27)
+
+
+def membw_mbps() -> float:
+    """Single-threaded copy bandwidth of a 16 MB buffer, MB/s.
+
+    Round 5 found a degradation regime invisible to BOTH loadavg and
+    the ALU canary: 96% idle, canary 1.29 s, yet memcpy collapsed to
+    6-15 MB/s (healthy: thousands). 16 MB keeps the watcher itself
+    cheap (~2 ms healthy, ~1-3 s degraded)."""
+    try:
+        import numpy as np
+    except Exception:
+        return -1.0
+    a = np.empty(16_000_000, dtype=np.uint8)
+    a.fill(1)
+    t0 = time.perf_counter()
+    a.copy()
+    dt = time.perf_counter() - t0
+    return round(16.0 / dt, 1) if dt > 0 else -1.0
 
 
 if __name__ == "__main__":
