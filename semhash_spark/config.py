@@ -72,6 +72,23 @@ class DedupConfig:
     hyperplane_bits: int = 64
     hyperplane_bands: int = 8
     hyperplane_seed: int = 42
+    # above-cap cosine candidate strategy: "hyperplane" (SRP banding —
+    # right for HIGH thresholds, θ>=0.9, where width-16 bands separate
+    # well) or "ivf" (coarse k-means cells + per-cell fused gemm scan —
+    # right for MID thresholds / correlated embeddings, where SRP's
+    # per-band collision rate on sub-threshold pairs explodes the
+    # candidate set: measured 4.1% of ALL pairs at θ=0.75 on the code
+    # corpus vs ~n/cells selectivity for IVF)
+    cosine_candidates: str = "hyperplane"
+    # IVF geometry: None -> auto (~sqrt of the input size, capped so
+    # driver k-means training stays bounded); probe = how many nearest
+    # cells each row scans against (its home cell first)
+    ivf_cells: int | None = None
+    ivf_probe: int = 2
+    # home rows per cell actually scanned (lowest ids kept when a cell
+    # overflows — the star-cap argument: every probe row still reaches
+    # the cell's min-id members, so >=θ cliques stay CC-connected)
+    ivf_cell_cap: int = 20000
     # per-row neighbor cap in the FUSED cosine kernels — the
     # reference's ANN result cap (max_k=100, semhash/index.py:59).
     # Bounds edge emission for mega-clusters (an m-member >=θ clique

@@ -256,6 +256,20 @@ def self_deduplicate(
                 max_k=cfg.cosine_max_k,
             ),
         )
+    elif mode == "cosine" and cfg.cosine_candidates == "ivf":
+        # above-cap IVF plan: coarse cells + per-cell fused gemm —
+        # the mid-threshold scale path (see cosine_threshold_edges_ivf)
+        from semhash_spark.operators.verify import cosine_threshold_edges_ivf
+
+        edges = ck(
+            f"edges_{mode}",
+            lambda: cosine_threshold_edges_ivf(
+                feats, threshold, id_col, cfg.embedding_col,
+                n_cells=cfg.ivf_cells, n_probe=cfg.ivf_probe,
+                cell_cap=cfg.ivf_cell_cap, max_k=cfg.cosine_max_k,
+                seed=cfg.hyperplane_seed, n_rows=n_feats,
+            ),
+        )
     else:
         cands = ck(
             f"candidates_{mode}",

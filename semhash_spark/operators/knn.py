@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,6 +77,56 @@ def train_centroids(
                 if n > 0:
                     cents[c] = v / n
     return cents
+
+
+def ivf_probe_cells(emb_col: str, cents: np.ndarray, n_probe: int):
+    """array<long> of the ``n_probe`` nearest centroid cells for an
+    embedding column, HOME (nearest) cell first — vectorized pandas
+    UDF for at-scale cell assignment (the interpreted
+    ``_nearest_cells_expr`` is fine for the 16-cell knn default but
+    hopeless per-row at hundreds/thousands of dedup cells).
+
+    Deterministic across partitionings: per-row order is
+    (score desc, cell id asc). NULL and zero-norm embeddings get an
+    EMPTY array (posexplode drops them — they never pair, matching
+    hyperplane_bands / NULL-cosine semantics). The row norm never
+    changes a row's own cell ORDER, so no query-side normalization.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cT = np.ascontiguousarray(cents.T, dtype=np.float64)
+
+    @pandas_udf("array<long>")
+    def _cells(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        skip = np.fromiter((e is None for e in v), dtype=bool, count=n)
+        if skip.all():
+            return pd.Series([[]] * n, dtype=object)
+        d = len(next(e for e in v if e is not None))
+        x = np.vstack(
+            [np.zeros(d) if e is None else np.asarray(e, dtype=np.float64)
+             for e in v]
+        )
+        skip |= (np.abs(x).max(axis=1) == 0)  # zero-norm rows
+        s = x @ cT[:d]
+        p = min(n_probe, s.shape[1])
+        if p < s.shape[1]:
+            part = np.argpartition(-s, p - 1, axis=1)[:, :p]
+        else:
+            part = np.broadcast_to(
+                np.arange(s.shape[1]), (len(x), s.shape[1])
+            ).copy()
+        ps = np.take_along_axis(s, part, axis=1)
+        order = np.lexsort((part, -ps), axis=1)
+        cells = np.take_along_axis(part, order, axis=1).astype(np.int64)
+        return pd.Series(
+            [[] if skip[i] else cells[i].tolist() for i in range(n)],
+            dtype=object,
+        )
+
+    return _cells(F.col(emb_col))
 
 
 def _nearest_cells_expr(emb_col: str, cents: np.ndarray, n: int):

@@ -1043,6 +1043,116 @@ def _cap_row_neighbors(mask, s, ids_i, max_k):
     return mask
 
 
+def cosine_threshold_edges_ivf(
+    feats: DataFrame,
+    threshold: float,
+    id_col: str = "record_id",
+    emb_col: str = "embedding",
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    cell_cap: int = 20000,
+    max_k: int | None = None,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """All self pairs (a < b, score >= threshold) via coarse IVF
+    cells + per-cell fused gemm — the at-scale cosine plan for MID
+    thresholds, where SRP banding's per-band collision rate on
+    sub-threshold pairs explodes (measured round 5: θ=0.75 on the
+    code corpus, SRP at 2048 bits/128 bands emits 4.1% of ALL pairs
+    as candidates — 2e10 pair materializations at 1M rows — while
+    IVF bounds total scan work at ~n^2 * n_probe / n_cells gemm
+    FLOPs with NO pair materialization at all).
+
+    Plan shape (Spark-idiomatic, scales by adding executors):
+      1. driver k-means over a bounded deterministic sample
+         (``train_centroids`` — ordered-id sample, fixed seed)
+      2. every row gets its ``n_probe`` nearest cells (vectorized
+         pandas UDF, home cell first), posexplode → (row, cell)
+      3. groupBy(cell).applyInPandas: each cell group runs the SAME
+         chunked f32-scan/f64-rescore kernel as the fused path,
+         probe rows x (lowest-id ``cell_cap``) home rows
+      4. least/greatest normalize + distinct (a pair can surface in
+         at most 2 cells; its score is bit-identical in both, so
+         ``distinct`` dedups exactly)
+
+    Coverage: pair (x, y) is scanned iff home(y) ∈ probes(x) or
+    home(x) ∈ probes(y) — standard IVF dedup coverage; recall vs the
+    complete edge set is asserted in tests/test_recall.py. Skew: an
+    oversized cell (common-boilerplate mega-cluster) scans only its
+    ``cell_cap`` lowest-id home rows — every probe row still reaches
+    the cell's min-id members, so >=θ cliques stay connected for
+    min-id CC (the star-cap argument, lsh.py:127), and ``max_k``
+    bounds per-row edge emission exactly like the fused path.
+    """
+    from semhash_spark.operators.knn import ivf_probe_cells, train_centroids
+
+    if n_rows is None:
+        n_rows = feats.count()
+    if n_cells is None:
+        # home size ~2k/cell keeps per-cell gemm ~0.5 GFLOP; the cap
+        # keeps driver k-means training bounded (train_cap rows)
+        n_cells = max(8, min(2048, int(n_rows) // 2048))
+    cents = train_centroids(
+        feats, n_cells, emb_col, train_cap=max(10_000, 4 * n_cells),
+        seed=seed, id_col=id_col,
+    )
+    thr = float(threshold)
+    cap = int(cell_cap)
+    mk = max_k
+
+    ex = (
+        feats.select(id_col, emb_col)
+        .withColumn("_cells", ivf_probe_cells(emb_col, cents, n_probe))
+        .select(
+            id_col, emb_col,
+            F.posexplode("_cells").alias("_pos", "_cell"),
+        )
+    )
+
+    def scan(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+        )
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        xm = np.divide(x, xn, out=x, where=xn > 0)  # zero rows stay 0
+        home = (pdf["_pos"] == 0).to_numpy(dtype=bool)
+        h_idx = np.flatnonzero(home)
+        if len(h_idx) == 0:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        if len(h_idx) > cap:
+            order = np.argsort(ids[h_idx], kind="stable")
+            h_idx = h_idx[order[:cap]]
+        hm = xm[h_idx]
+        h_ids = ids[h_idx]
+        h32 = np.ascontiguousarray(hm.T, dtype=np.float32)
+        nz_h = np.linalg.norm(hm, axis=1) > 0
+        outs = []
+        for r, c, s in _chunked_threshold(
+            ids, xm, (xn.ravel() <= 0), h_ids, hm, h32, nz_h, thr, mk,
+            self_mode=False,
+        ):
+            a = ids[r]
+            b = h_ids[c]
+            ne = a != b
+            if ne.any():
+                a, b, s = a[ne], b[ne], s[ne]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                outs.append(pd.DataFrame({"a": lo, "b": hi, "score": s}))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        return pd.concat(outs, ignore_index=True)
+
+    edges = ex.groupBy("_cell").applyInPandas(
+        scan, "a long, b long, score double"
+    )
+    return edges.distinct()
+
+
 def cosine_threshold_edges(
     feats: DataFrame,
     threshold: float,

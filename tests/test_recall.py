@@ -121,3 +121,62 @@ def test_recall_corpus_hyperplane(spark):
         assert recall >= 0.99
     finally:
         corpus.unpersist()
+
+
+def test_recall_ivf_path(spark, oracle_dups):
+    # cosine_fused_cap=0 + cosine_candidates="ivf" forces the coarse
+    # IVF cells + per-cell fused gemm plan (the at-scale plan for MID
+    # thresholds — see verify.cosine_threshold_edges_ivf). This
+    # θ=0.9 UNIGRAM table is IVF's adversarial case (one tight
+    # angular blob — SRP's regime per the config docs): boundary
+    # pairs straddle cells, so wide probing is needed (measured here:
+    # probe 2 → 0.93, 4 → 0.97, 6 → 1.0 of 8 cells). The intended
+    # mid-threshold regime is covered by test_recall_corpus_ivf.
+    filtered = _engine_filtered(
+        spark, cosine_fused_cap=0, cosine_candidates="ivf",
+        ivf_cells=8, ivf_probe=6,
+    )
+    recall = len(oracle_dups & filtered) / len(oracle_dups)
+    assert recall >= 0.99
+
+
+def test_recall_corpus_ivf(spark):
+    """The IVF plan's record-level recall vs the exact-cosine truth
+    (fused path) on the flagship corpus at the bench config — same
+    harness as test_recall_corpus_hyperplane; default N kept small
+    enough for CI, env-scalable like the hyperplane test."""
+    import os
+
+    from semhash_spark.functions.encoder import featurize
+    from semhash_spark.sources.corpus import generate_corpus
+
+    n = int(os.environ.get("SPARK_GRAFT_RECALL_IVF_N", "20000"))
+    cfg = DedupConfig(
+        columns=("content",), threshold=0.75, embedding_dim=128,
+        embedding_ngram=2,
+    )
+    corpus = featurize(
+        generate_corpus(spark, n), cfg.columns, cfg.embedding_dim,
+        cfg.embedding_col, cfg.embedding_ngram,
+    ).persist()
+    try:
+        res_exact = self_deduplicate(corpus, cfg, mode="cosine")
+        truth = {int(r["record_id"])
+                 for r in res_exact.filtered.select("record_id").collect()}
+        res_exact.release()
+
+        res_ivf = self_deduplicate(
+            corpus,
+            cfg.with_(cosine_fused_cap=0, cosine_candidates="ivf"),
+            mode="cosine")
+        found = {int(r["record_id"])
+                 for r in res_ivf.filtered.select("record_id").collect()}
+        res_ivf.release()
+
+        assert len(truth) > n // 50
+        recall = len(truth & found) / len(truth)
+        print(f"corpus ivf recall @ n={n}: {recall:.5f} "
+              f"(truth={len(truth)}, found={len(found)})")
+        assert recall >= 0.99
+    finally:
+        corpus.unpersist()
