@@ -563,6 +563,25 @@ def q_hyperplane_cosine_pairs(spark, sf_dir):
                     F.round("score", 6).alias("score"))
 
 
+IVF_CELLS, IVF_PROBE = 8, 4
+
+
+def q_ivf_cosine_pairs(spark, sf_dir):
+    # J: coarse-IVF cells + per-cell fused gemm (the mid-threshold
+    # at-scale cosine plan, round 5). The oracle replicates the SAME
+    # candidate structure in SQL with the SAME inlined centroids
+    # (_ivf_sql), like the hyperplane row inlines the same planes.
+    from semhash_spark.operators.verify import cosine_threshold_edges_ivf
+
+    emb = _emb(spark, sf_dir).select("record_id", "embedding")
+    edges = cosine_threshold_edges_ivf(
+        emb, COSINE_T, "record_id", "embedding",
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, max_k=None,
+    )
+    return edges.select(F.col("a").cast("long"), F.col("b").cast("long"),
+                        F.round("score", 6).alias("score"))
+
+
 def _media_df(spark, sf_dir):
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -827,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_lcs": q_containment_lcs,
         "simhash_pairs": q_simhash_pairs,
         "hyperplane_cosine_pairs": q_hyperplane_cosine_pairs,
+        "ivf_cosine_pairs": q_ivf_cosine_pairs,
         "representatives": q_representatives,
         "representatives_dpp": q_representatives_dpp,
         "representatives_msd": q_representatives_msd,
@@ -1162,6 +1182,60 @@ WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {C
 """
 
 
+def _ivf_sql() -> str:
+    """Coarse-IVF candidates + exact-cosine verify (SELF mode): cell
+    assignment (rank against the SAME deterministically-trained
+    centroids, inlined as literals), probe/home join, least/greatest
+    normalize + distinct, and float64 verification all run
+    independently in DuckDB. Centroids come from the shared
+    ``kmeans_core`` over the sf0.01 embeddings sorted by vec_id —
+    exactly what ``train_centroids`` feeds it (orderBy(id).limit)."""
+    import duckdb as _dd
+    import numpy as _np
+
+    from semhash_spark.operators.knn import kmeans_core
+
+    x = _dd.sql(
+        "SELECT embedding FROM read_parquet("
+        "'/root/testdata/sf0.01/embeddings.parquet') ORDER BY vec_id"
+    ).fetchnumpy()["embedding"]
+    cents = kmeans_core(
+        _np.vstack([_np.asarray(e, dtype=_np.float64) for e in x]), IVF_CELLS
+    )
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(cell, v) AS (VALUES {rows}),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_inner_product(e.embedding::DOUBLE[], c.v) AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+  FROM scored
+),
+probes AS (SELECT vec_id, cell FROM ranked WHERE rk <= {IVF_PROBE}),
+home AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+cand AS (
+  SELECT DISTINCT least(p.vec_id, h.vec_id) AS i,
+                  greatest(p.vec_id, h.vec_id) AS j
+  FROM probes p JOIN home h ON p.cell = h.cell AND p.vec_id <> h.vec_id
+)
+SELECT i AS a, j AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS score
+FROM cand
+JOIN embeddings x ON x.vec_id = cand.i
+JOIN embeddings y ON y.vec_id = cand.j
+WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {COSINE_T}
+"""
+
+
 def _cross_hyperplane_sql() -> str:
     """CROSS-mode LSH existential dedup oracle: a query row
     (vec_id % 5 = 0) is filtered iff it shares >= 1 hyperplane band
@@ -1401,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _SIMHASH_SQL,
         "hyperplane_cosine_pairs": _hyperplane_sql(),
+        "ivf_cosine_pairs": _ivf_sql(),
         "containment_lcs": _LCS_GOLDEN_SQL,
         "representatives": _REP_GOLDEN_SQL,
         "representatives_dpp": _REP_DPP_GOLDEN_SQL,

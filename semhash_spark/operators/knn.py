@@ -62,6 +62,15 @@ def train_centroids(
     """
     rows = index.select(id_col, emb_col).orderBy(id_col).limit(train_cap).collect()
     x = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    return kmeans_core(x, n_cells, iters, seed)
+
+
+def kmeans_core(x: np.ndarray, n_cells: int, iters: int = 10,
+                seed: int = 42) -> np.ndarray:
+    """The deterministic numpy k-means shared by the Spark trainer
+    and the oracle generator (__spark_entry__._ivf_sql inlines the
+    SAME centroids into DuckDB SQL, the same way the hyperplane
+    oracle inlines the same Gaussian planes)."""
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = np.divide(x, norms, where=norms > 0)
     rng = np.random.default_rng(seed)
