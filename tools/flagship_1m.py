@@ -71,6 +71,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n", nargs="?", type=int, default=1_000_000)
     ap.add_argument("--mode", default="minhash", choices=["minhash", "cosine"])
+    ap.add_argument("--cosine-strategy", default="ivf",
+                    choices=["ivf", "hyperplane", "fused"],
+                    help="above-cap cosine plan (round 5: ivf is the "
+                         "mid-threshold scale path; hyperplane kept for "
+                         "comparison; fused = force the n^2 blob matmul)")
     ap.add_argument("--theta", type=float, default=None)
     ap.add_argument("--star-cc", action="store_true",
                     help="force the distributed alternating-star CC path")
@@ -99,7 +104,12 @@ def main() -> None:
             columns=("content",), threshold=args.theta or 0.75,
             embedding_dim=128, embedding_ngram=2,
             hyperplane_bits=2048, hyperplane_bands=128,
-            cosine_fused_cap=min(200_000, args.n - 1),
+            cosine_candidates=(
+                "ivf" if args.cosine_strategy == "ivf" else "hyperplane"),
+            cosine_fused_cap=(
+                None if args.cosine_strategy == "fused"
+                else min(200_000, args.n - 1) if args.cosine_strategy == "hyperplane"
+                else 0),
         )
     if args.star_cc:
         cfg = cfg.with_(driver_cc_cap=0)
