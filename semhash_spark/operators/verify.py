@@ -1003,10 +1003,19 @@ def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
 
 
 def _cap_rows_sparse(r, c, s, ids_i, max_k):
-    """Per-row top-``max_k`` cap on sparse (row, col, score) triplets
-    (r non-decreasing — np.nonzero row-major order). Same semantics
-    as ``_cap_row_neighbors``: oversized rows keep the ``max_k``
-    highest-score neighbors, ties broken by ascending neighbor id."""
+    """Per-row top-``max_k`` neighbor cap (reference ``max_k=100``,
+    semhash/index.py:59) on sparse (row, col, score) triplets
+    (r non-decreasing — np.nonzero row-major order): oversized rows
+    keep the ``max_k`` highest-score neighbors, ties broken by
+    ascending neighbor id. Only oversized rows pay the python loop —
+    these are exactly the mega-cluster members whose uncapped edge
+    emission is quadratic (a 8k-member boilerplate cluster emits 32M
+    edges uncapped; 0.8M capped). For a COMPLETE >=θ sub-cluster the
+    capped a<b graph stays connected (every non-max member keeps >=1
+    upward edge), so min-id connected components are unchanged; only
+    dense-but-incomplete clusters wider than max_k can differ — the
+    same truncation the reference's ANN cap applies (SURVEY §2.4 J2).
+    """
     counts = np.bincount(r)
     if (counts <= max_k).all():
         return r, c, s
@@ -1019,28 +1028,6 @@ def _cap_rows_sparse(r, c, s, ids_i, max_k):
         kmask[order[:max_k]] = True
         keep[sl] = kmask
     return r[keep], c[keep], s[keep]
-
-
-def _cap_row_neighbors(mask, s, ids_i, max_k):
-    """Per-row top-``max_k`` neighbor cap (reference ``max_k=100``,
-    semhash/index.py:59): rows whose passing-neighbor count exceeds
-    the cap keep only the ``max_k`` highest-score neighbors
-    (deterministic tie-break: ascending neighbor id). Only oversized
-    rows pay the python loop — these are exactly the mega-cluster
-    members whose uncapped edge emission is quadratic (a 8k-member
-    boilerplate cluster emits 32M edges uncapped; 0.8M capped). For a
-    COMPLETE >=θ sub-cluster the capped a<b graph stays connected
-    (every non-max member keeps >=1 upward edge), so min-id connected
-    components are unchanged; only dense-but-incomplete clusters
-    wider than max_k can differ — the same truncation the reference's
-    ANN cap applies (SURVEY.md §2.4 J2).
-    """
-    cnt = mask.sum(axis=1)
-    for ri in np.flatnonzero(cnt > max_k):
-        cols = np.nonzero(mask[ri])[0]
-        order = np.lexsort((ids_i[cols], -s[ri, cols]))
-        mask[ri, cols[order[max_k:]]] = False
-    return mask
 
 
 def cosine_threshold_edges_ivf(
@@ -1163,7 +1150,7 @@ def cosine_threshold_edges(
     """All pairs (a < b, score) with cosine >= threshold — fused
     candidate generation + verification via broadcast matmul.
     ``max_k`` caps each row's emitted neighbors (reference
-    query_threshold cap; see ``_cap_row_neighbors``).
+    query_threshold cap; see ``_cap_rows_sparse``).
 
     The embedding table is materialized as parquet executor-side
     (``materialize_feats`` — a distributed write, NO driver
