@@ -161,6 +161,9 @@ PLAN: list[tuple[str, str, list[str]]] = [
     ("flagship", "1m_minhash", ["1000000", "--mode", "minhash"]),
     ("flagship", "1m_ivf", ["1000000", "--mode", "cosine",
                             "--cosine-strategy", "ivf"]),
+    # the reference's exact headline record count (1.8M wikitext in
+    # 83.53 s, ref benchmarks/README.md:37) on our ~2.1x-larger rows
+    ("flagship", "1800k_minhash", ["1800000", "--mode", "minhash"]),
     ("scaling", "a", ["1", "4"]),
     ("flagship", "100k_ivf", ["100000", "--mode", "cosine",
                               "--cosine-strategy", "ivf"]),
