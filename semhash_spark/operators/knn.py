@@ -119,17 +119,26 @@ def ivf_probe_cells(emb_col: str, cents: np.ndarray, n_probe: int):
              for e in v]
         )
         skip |= (np.abs(x).max(axis=1) == 0)  # zero-norm rows
-        s = x @ cT[:d]
-        p = min(n_probe, s.shape[1])
-        if p < s.shape[1]:
-            part = np.argpartition(-s, p - 1, axis=1)[:, :p]
-        else:
-            part = np.broadcast_to(
-                np.arange(s.shape[1]), (len(x), s.shape[1])
-            ).copy()
-        ps = np.take_along_axis(s, part, axis=1)
-        order = np.lexsort((part, -ps), axis=1)
-        cells = np.take_along_axis(part, order, axis=1).astype(np.int64)
+        n_cells_ = cT.shape[1]
+        p = min(n_probe, n_cells_)
+        # chunk rows + reuse one score buffer (fresh big gemm outputs
+        # pay the first-touch fault storm — see verify loaders)
+        step = max(16, int((16 << 20) // (8 * n_cells_)))
+        buf = np.empty((min(step, len(x)), n_cells_))
+        cells = np.empty((len(x), p), dtype=np.int64)
+        for lo in range(0, len(x), step):
+            hi = min(lo + step, len(x))
+            s = buf[: hi - lo]
+            np.dot(x[lo:hi], cT[:d], out=s)
+            if p < n_cells_:
+                part = np.argpartition(-s, p - 1, axis=1)[:, :p]
+            else:
+                part = np.broadcast_to(
+                    np.arange(n_cells_), (hi - lo, n_cells_)
+                ).copy()
+            ps = np.take_along_axis(s, part, axis=1)
+            order = np.lexsort((part, -ps), axis=1)
+            cells[lo:hi] = np.take_along_axis(part, order, axis=1)
         return pd.Series(
             [[] if skip[i] else cells[i].tolist() for i in range(n)],
             dtype=object,

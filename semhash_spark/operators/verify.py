@@ -1097,9 +1097,15 @@ def cosine_threshold_edges_ivf(
         )
     )
 
+    _empty = {
+        "a": np.array([], dtype=np.int64),
+        "b": np.array([], dtype=np.int64),
+        "score": np.array([], dtype=np.float64),
+    }
+
     def scan(pdf):
         if len(pdf) < 2:
-            return pd.DataFrame({"a": [], "b": [], "score": []})
+            return pd.DataFrame(_empty)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         x = np.vstack(
             [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
@@ -1109,7 +1115,7 @@ def cosine_threshold_edges_ivf(
         home = (pdf["_pos"] == 0).to_numpy(dtype=bool)
         h_idx = np.flatnonzero(home)
         if len(h_idx) == 0:
-            return pd.DataFrame({"a": [], "b": [], "score": []})
+            return pd.DataFrame(_empty)
         if len(h_idx) > cap:
             order = np.argsort(ids[h_idx], kind="stable")
             h_idx = h_idx[order[:cap]]
@@ -1131,7 +1137,7 @@ def cosine_threshold_edges_ivf(
                 hi = np.maximum(a, b)
                 outs.append(pd.DataFrame({"a": lo, "b": hi, "score": s}))
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "score": []})
+            return pd.DataFrame(_empty)
         return pd.concat(outs, ignore_index=True)
 
     edges = ex.groupBy("_cell").applyInPandas(
