@@ -123,7 +123,7 @@ def run_flagship(tag: str, argv: list[str]) -> None:
         if line.startswith("{"):
             open(outj, "w").write(line + "\n")
             j = json.loads(line)
-            log(f"flagship {tag}: {j.get('sec')}s = "
+            log(f"flagship {tag}: {j.get('best_sec', j.get('sec'))}s = "
                 f"{j.get('files_per_sec')} files/s "
                 f"(canaries {j.get('canary_before_sec')}/"
                 f"{j.get('canary_after_sec')} membw "
