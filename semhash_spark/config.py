@@ -89,6 +89,12 @@ class DedupConfig:
     # overflows — the star-cap argument: every probe row still reaches
     # the cell's min-id members, so >=θ cliques stay CC-connected)
     ivf_cell_cap: int = 20000
+    # probe rows per salted IVF scan subgroup. applyInPandas
+    # materializes a WHOLE group in one python worker, and correlated
+    # embeddings skew cell populations (round-5: unsalted mega-cell
+    # groups OOM'd a 128 GiB box at 1M rows), so group size is bounded
+    # by salting the probe stream and replicating the capped home pack
+    ivf_group_cap: int = 50000
     # per-row neighbor cap in the FUSED cosine kernels — the
     # reference's ANN result cap (max_k=100, semhash/index.py:59).
     # Bounds edge emission for mega-clusters (an m-member >=θ clique

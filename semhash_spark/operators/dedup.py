@@ -268,6 +268,7 @@ def self_deduplicate(
                 n_cells=cfg.ivf_cells, n_probe=cfg.ivf_probe,
                 cell_cap=cfg.ivf_cell_cap, max_k=cfg.cosine_max_k,
                 seed=cfg.hyperplane_seed, n_rows=n_feats,
+                group_cap=cfg.ivf_group_cap,
             ),
         )
     else:

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from semhash_spark.functions.vectors import cosine_similarity
@@ -1041,6 +1041,7 @@ def cosine_threshold_edges_ivf(
     max_k: int | None = None,
     seed: int = 42,
     n_rows: int | None = None,
+    group_cap: int = 50_000,
 ) -> DataFrame:
     """All self pairs (a < b, score >= threshold) via coarse IVF
     cells + per-cell fused gemm — the at-scale cosine plan for MID
@@ -1056,12 +1057,22 @@ def cosine_threshold_edges_ivf(
          (``train_centroids`` — ordered-id sample, fixed seed)
       2. every row gets its ``n_probe`` nearest cells (vectorized
          pandas UDF, home cell first), posexplode → (row, cell)
-      3. groupBy(cell).applyInPandas: each cell group runs the SAME
-         chunked f32-scan/f64-rescore kernel as the fused path,
-         probe rows x (lowest-id ``cell_cap``) home rows
-      4. least/greatest normalize + distinct (a pair can surface in
+      3. every cell's home pack is pre-capped to its ``cell_cap``
+         lowest-id rows (window), the probe stream is salted so no
+         applyInPandas group holds more than ~``group_cap`` probe
+         rows, and the small capped pack replicates to each salt —
+         correlated embeddings make mega-cells (measured round 5:
+         unsalted groups OOM'd the box at 1M rows), and
+         applyInPandas materializes a whole group per worker, so
+         group size must be bounded BY CONSTRUCTION, not by hope
+      4. groupBy(cell, salt).applyInPandas: each subgroup runs the
+         SAME chunked f32-scan/f64-rescore kernel as the fused path,
+         probe rows x the cell's capped home pack
+      5. least/greatest normalize + distinct (a pair can surface in
          at most 2 cells; its score is bit-identical in both, so
-         ``distinct`` dedups exactly)
+         ``distinct`` dedups exactly — salting adds no new pair
+         sources: each probe instance lands in exactly one salt and
+         sees the identical pack every salt sees)
 
     Coverage: pair (x, y) is scanned iff home(y) ∈ probes(x) or
     home(x) ∈ probes(y) — standard IVF dedup coverage; recall vs the
@@ -1097,6 +1108,46 @@ def cosine_threshold_edges_ivf(
         )
     )
 
+    # Bound every applyInPandas group by construction. Cell population
+    # under correlated embeddings is skewed (boilerplate mega-cells):
+    # an unbounded groupBy(cell) group is materialized WHOLE in one
+    # python worker (plus the JVM's group buffer), which is exactly
+    # what OOM'd the 1M-row round-5 run. Salting: probes split into
+    # ceil(cell_rows / group_cap) subgroups; the cell's home pack —
+    # already capped to its cell_cap lowest ids, so <= ~20 MB —
+    # replicates to every salt. Costs one extra pass of the probe-cell
+    # UDF for the per-cell counts (vectorized gemm, seconds at 1M; at
+    # real scale persist `ex` instead).
+    cnt = ex.groupBy("_cell").agg(F.count(F.lit(1)).alias("_cnt"))
+    cnt = cnt.withColumn(
+        "_salts",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_cnt") / F.lit(float(group_cap)))
+        ).cast("int"),
+    ).select("_cell", "_salts")
+    ex = ex.join(F.broadcast(cnt), "_cell")
+
+    home_w = Window.partitionBy("_cell").orderBy(id_col)
+    pack = (
+        ex.filter(F.col("_pos") == 0)
+        .withColumn("_rn", F.row_number().over(home_w))
+        .filter(F.col("_rn") <= cap)
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_salts") - 1))
+        )
+        .withColumn("_home", F.lit(True))
+        .select(id_col, emb_col, "_cell", "_salt", "_home")
+    )
+    probes = (
+        ex.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_salts")).cast("int"),
+        )
+        .withColumn("_home", F.lit(False))
+        .select(id_col, emb_col, "_cell", "_salt", "_home")
+    )
+    grouped = pack.unionByName(probes)
+
     _empty = {
         "a": np.array([], dtype=np.int64),
         "b": np.array([], dtype=np.int64),
@@ -1112,9 +1163,14 @@ def cosine_threshold_edges_ivf(
         )
         xn = np.linalg.norm(x, axis=1, keepdims=True)
         xm = np.divide(x, xn, out=x, where=xn > 0)  # zero rows stay 0
-        home = (pdf["_pos"] == 0).to_numpy(dtype=bool)
+        home = pdf["_home"].to_numpy(dtype=bool)
         h_idx = np.flatnonzero(home)
-        if len(h_idx) == 0:
+        # probe side = the non-pack rows only: every pack row's own
+        # pos==0 probe instance arrives separately (_home=False), so
+        # scanning the replicated pack copies as probes would just
+        # redo identical pairs once per salt
+        p_idx = np.flatnonzero(~home)
+        if len(h_idx) == 0 or len(p_idx) == 0:
             return pd.DataFrame(_empty)
         if len(h_idx) > cap:
             order = np.argsort(ids[h_idx], kind="stable")
@@ -1123,12 +1179,15 @@ def cosine_threshold_edges_ivf(
         h_ids = ids[h_idx]
         h32 = np.ascontiguousarray(hm.T, dtype=np.float32)
         nz_h = np.linalg.norm(hm, axis=1) > 0
+        p_ids = ids[p_idx]
+        pm = xm[p_idx]
+        p_zero = (xn.ravel() <= 0)[p_idx]
         outs = []
         for r, c, s in _chunked_threshold(
-            ids, xm, (xn.ravel() <= 0), h_ids, hm, h32, nz_h, thr, mk,
+            p_ids, pm, p_zero, h_ids, hm, h32, nz_h, thr, mk,
             self_mode=False,
         ):
-            a = ids[r]
+            a = p_ids[r]
             b = h_ids[c]
             ne = a != b
             if ne.any():
@@ -1140,7 +1199,7 @@ def cosine_threshold_edges_ivf(
             return pd.DataFrame(_empty)
         return pd.concat(outs, ignore_index=True)
 
-    edges = ex.groupBy("_cell").applyInPandas(
+    edges = grouped.groupBy("_cell", "_salt").applyInPandas(
         scan, "a long, b long, score double"
     )
     return edges.distinct()

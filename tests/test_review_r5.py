@@ -151,3 +151,37 @@ def test_chunked_threshold_kernel_edges():
     # keep-mask filter preserves triplet order; the KEPT SET is the
     # top-2 by (score desc, id asc) plus the under-cap row
     assert sorted(zip(rr.tolist(), cc.tolist())) == [(0, 2), (0, 5), (1, 6)]
+
+
+def test_ivf_salting_is_output_invariant(spark):
+    """The round-5 OOM fix: the IVF scan bounds applyInPandas group
+    size by salting the probe stream and replicating each cell's
+    capped home pack to every salt. A tiny group_cap (many salts per
+    cell) must produce the exact same edge set — ids AND bit-identical
+    scores — as an effectively-unsalted run (group_cap >= all rows).
+    The corpus is deliberately skewed: one tight angular blob drops
+    most rows into a single cell, the unsalted failure shape."""
+    from semhash_spark.operators.verify import cosine_threshold_edges_ivf
+
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    rows = []
+    for i in range(300):  # the mega-cell blob
+        v = u + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(300, 400):  # scatter
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    feats = spark.createDataFrame(
+        rows, "record_id long, embedding array<double>")
+
+    kw = dict(n_cells=4, n_probe=2, cell_cap=80, seed=7, n_rows=400)
+    salted = cosine_threshold_edges_ivf(
+        feats, 0.9, group_cap=25, **kw).collect()
+    plain = cosine_threshold_edges_ivf(
+        feats, 0.9, group_cap=10**9, **kw).collect()
+
+    as_set = lambda res: {(r.a, r.b, r.score) for r in res}  # noqa: E731
+    assert len(salted) > 100  # the blob actually pairs
+    assert as_set(salted) == as_set(plain)
