@@ -110,6 +110,7 @@ def _driver_components(spark, pdf, id_col: str) -> DataFrame:
 def connected_components(
     edges: DataFrame, id_col: str = "record_id", max_iter: int = 50,
     driver_cap: int = DRIVER_CC_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Components of an undirected edge list (columns ``src``, ``dst``).
 
@@ -131,7 +132,13 @@ def connected_components(
     discards them — a one-off cost dwarfed by the distributed rounds
     that follow, in exchange for the common small-graph case being a
     single job.
+
+    ``stats`` (optional dict) is filled with the path taken and, on
+    the star path, per-round wall seconds + per-round edge counts —
+    the instrumentation behind tools/cc_scale_bench.py.
     """
+    import time as _time
+
     spark = edges.sparkSession
     base = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
@@ -140,13 +147,28 @@ def connected_components(
     if len(probe) == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster_id long")
     if len(probe) <= driver_cap:
+        if stats is not None:
+            stats["path"] = "driver"
+            stats["n_edges_probe"] = len(probe)
         return _driver_components(spark, probe, id_col)
 
+    if stats is not None:
+        stats["path"] = "star"
+        stats["rounds_sec"] = []
+        stats["rounds_edges"] = []
+    t0 = _time.perf_counter()
     e = base.distinct().localCheckpoint(eager=True)
     prev = _checksum(e)
+    if stats is not None:
+        stats["dedup_checkpoint_sec"] = round(_time.perf_counter() - t0, 3)
+        stats["n_edges_distinct"] = prev[0]
     for _ in range(max_iter):
+        t0 = _time.perf_counter()
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
+        if stats is not None:
+            stats["rounds_sec"].append(round(_time.perf_counter() - t0, 3))
+            stats["rounds_edges"].append(cur[0])
         if cur == prev:
             break
         prev = cur
