@@ -926,6 +926,11 @@ def verify_containment(
 _F32_MARGIN = 1e-5
 
 
+# max survivors rescored per float64 einsum slice: bounds the two
+# (hits x dim) fancy-index copies at ~67 MB each at 128 dims
+_RESCORE_HITS = 1 << 16
+
+
 def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
                        self_mode, chunk_bytes=16 << 20):
     """Row-chunked threshold gemm for the fused kernels, over
@@ -992,10 +997,30 @@ def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
         r, c = np.nonzero(mask)
         if len(r) == 0:
             continue
-        # exact float64 rescore of the scan's survivors only
-        s = np.einsum("ij,ij->i", qm[lo + r], matn[c])
-        keep = s >= thr
-        r, c, s = r[keep], c[keep], s[keep]
+        # exact float64 rescore of the scan's survivors only — in
+        # bounded slices: a mega-clique chunk (planted boilerplate,
+        # every pair >= thr) surfaces up to step*n_idx survivors at
+        # once, and a one-shot fancy-index rescore materializes TWO
+        # (hits x dim) float64 copies: ~8 GB/worker at 4M hits x 128
+        # dims, which is what globally OOM'd the 1M IVF flagship
+        # (14 workers at 7.6 GB RSS each, flagship_r5_1m_ivf2.log).
+        # Slicing keeps the peak at ~2 x slice x dim x 8 bytes
+        # (~134 MB) with identical survivors, scores, and cap order.
+        if len(r) <= _RESCORE_HITS:
+            s = np.einsum("ij,ij->i", qm[lo + r], matn[c])
+            keep = s >= thr
+            r, c, s = r[keep], c[keep], s[keep]
+        else:
+            parts = []
+            for slo in range(0, len(r), _RESCORE_HITS):
+                rs = r[slo:slo + _RESCORE_HITS]
+                cs = c[slo:slo + _RESCORE_HITS]
+                ss = np.einsum("ij,ij->i", qm[lo + rs], matn[cs])
+                keep = ss >= thr
+                parts.append((rs[keep], cs[keep], ss[keep]))
+            r = np.concatenate([p[0] for p in parts])
+            c = np.concatenate([p[1] for p in parts])
+            s = np.concatenate([p[2] for p in parts])
         if max_k is not None and len(r):
             r, c, s = _cap_rows_sparse(r, c, s, ids_i, max_k)
         if len(r):

@@ -185,3 +185,43 @@ def test_ivf_salting_is_output_invariant(spark):
     as_set = lambda res: {(r.a, r.b, r.score) for r in res}  # noqa: E731
     assert len(salted) > 100  # the blob actually pairs
     assert as_set(salted) == as_set(plain)
+
+
+def test_rescore_slicing_is_output_invariant(monkeypatch):
+    """The bounded-slice f64 rescore (the 1M-IVF OOM fix: a
+    mega-clique chunk surfaces step*n_idx survivors at once and the
+    one-shot fancy-index rescore held two (hits x dim) f64 copies
+    ~8 GB/worker) must emit bit-identical (r, c, s) triplets to the
+    one-shot path at any slice size."""
+    import numpy as np
+
+    import semhash_spark.operators.verify as V
+
+    rng = np.random.default_rng(11)
+    matn = rng.standard_normal((80, 16))
+    nrm = np.linalg.norm(matn, axis=1, keepdims=True)
+    matn = np.divide(matn, nrm, out=matn, where=nrm > 0)
+    nz = nrm.ravel() > 0
+    ids = np.arange(80, dtype=np.int64)
+    m32 = np.ascontiguousarray(matn.T, dtype=np.float32)
+
+    def run():
+        out = [
+            (r.copy(), c.copy(), s.copy())
+            for r, c, s in V._chunked_threshold(
+                ids, matn, ~nz, ids, matn, m32, nz, -1.0, 7,
+                self_mode=True)
+        ]
+        r = np.concatenate([o[0] for o in out])
+        c = np.concatenate([o[1] for o in out])
+        s = np.concatenate([o[2] for o in out])
+        return r, c, s
+
+    r0, c0, s0 = run()  # default _RESCORE_HITS: one-shot path
+    assert len(r0) > 500  # the all-pairs thr=-1 clique, capped at 7/row
+    for slice_hits in (1, 37, 100):
+        monkeypatch.setattr(V, "_RESCORE_HITS", slice_hits)
+        r1, c1, s1 = run()
+        assert np.array_equal(r0, r1)
+        assert np.array_equal(c0, c1)
+        assert np.array_equal(s0, s1)
