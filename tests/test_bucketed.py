@@ -19,6 +19,17 @@ def bucketed_pair(spark, tmp_path_factory):
     b = spark.range(0, 5000, 3).select(
         F.col("id").alias("record_id"), F.lit(1.0).alias("score")
     )
+    for t in ("t_bucketed_a", "t_bucketed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a killed prior session leaves an orphan table DIR that the
+        # fresh metastore doesn't know about — CREATE then fails on
+        # "location already exists", so clear the path too
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
+        )
     write_bucketed(a, "t_bucketed_a", buckets=8)
     write_bucketed(b, "t_bucketed_b", buckets=8)
     yield "t_bucketed_a", "t_bucketed_b"
