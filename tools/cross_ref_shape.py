@@ -54,7 +54,26 @@ def main() -> None:
     total = generate_corpus(spark, args.n_index + args.n_query).persist()
     total.count()
     idx = total.where(F.col("record_id") < args.n_index)
-    q = total.where(F.col("record_id") >= args.n_index).persist()
+    # reference-shape overlap: the wikitext test split removes 50.92%
+    # against train (ref benchmarks/README.md:61). The generator's
+    # near-dup planting is rid-local, so a disjoint-rid tail shares
+    # NOTHING with the index (measured: fil=0) — instead, half the
+    # query batch is verbatim clones of index rows under fresh ids
+    # (exact-dup leakage, like real train/test contamination) and
+    # half is the fresh disjoint tail.
+    n_clone = args.n_query // 2
+    clones = (
+        total.where(F.col("record_id") < n_clone)
+        .withColumn(
+            "record_id",
+            F.col("record_id") + F.lit(args.n_index + args.n_query),
+        )
+    )
+    q = (
+        total.where(F.col("record_id") >= args.n_index + n_clone)
+        .unionByName(clones)
+        .persist()
+    )
     q.count()
     spark.range(1000).mapInPandas(lambda it: (p for p in it), "id long").count()
 
