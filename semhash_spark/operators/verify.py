@@ -218,11 +218,18 @@ def _read_id_payload(ref: dict):
     unlike raw ``.values``/``.offsets``); NULL payload rows read as
     length 0.
     """
+    return _read_id_payload_files(
+        _blob_files(ref), ref["id_col"], ref["payload_col"]
+    )
+
+
+def _read_id_payload_files(files: list[str], id_col: str, payload_col: str):
+    """(ids, flat values, lens, null_rows) of a parquet file list."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_blob_files(ref), columns=[ref["id_col"], ref["payload_col"]])
-    ids = tbl.column(ref["id_col"]).to_numpy().astype(np.int64, copy=False)
-    payload = tbl.column(ref["payload_col"]).combine_chunks()
+    tbl = pq.read_table(files, columns=[id_col, payload_col])
+    ids = tbl.column(id_col).to_numpy().astype(np.int64, copy=False)
+    payload = tbl.column(payload_col).combine_chunks()
     values = payload.flatten().to_numpy(zero_copy_only=False)
     lens = payload.value_lengths().to_numpy(zero_copy_only=False)
     lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
@@ -574,25 +581,6 @@ def load_feats_matrix_normalized(ref: dict):
     return _pack_once_per_executor(ref, "matn", build)
 
 
-def load_feats_matrix_normalized_f32(ref: dict):
-    """float32 TRANSPOSED (dim x n, C-contiguous) copy of the
-    normalized matrix, cached per executor — the fused scan's gemm
-    B operand in the exact layout sgemm wants (measured 3.6x vs
-    feeding the ``.T`` view of the row-major matrix). The 100k x 100k
-    scan at local[32] is memory-bandwidth-bound (32 workers streaming
-    64 MB score blocks against a shared single-socket bus), so
-    halving the operand and output traffic is ~2x wall on top;
-    exactness is preserved because the scan only SELECTS candidates
-    at ``thr - margin`` and every survivor is re-scored in float64
-    (``_chunked_threshold``)."""
-
-    def build():
-        ids, matn, nz = load_feats_matrix_normalized(ref)
-        return (ids, matn.T.astype(np.float32), nz)
-
-    return _pack_once_per_executor(ref, "matn32t", build)
-
-
 def load_feats_matrix_normalized_T(ref: dict):
     """float64 TRANSPOSED (dim x n, C-contiguous) normalized matrix,
     cached per executor — the exact-top-k gemm B operand (same 3.6x
@@ -604,6 +592,100 @@ def load_feats_matrix_normalized_T(ref: dict):
         return (ids, matn.T, nz)
 
     return _pack_once_per_executor(ref, "matnt", build)
+
+
+# fused-scan block geometry: the f32 index matrix is packed as
+# (n_blocks, dim, _BLK_W) column blocks so each sgemm B operand is a
+# ~2 MB C-contiguous tile that stays cache-resident across the row
+# chunks of a batch, and the score/mask buffers are (row_step x
+# _BLK_W) reused tiles instead of (rows x n) full-width strips. The
+# round-5 full-width kernel streamed the whole 50 MB B matrix + wrote
+# 3 full-width bool/score passes per 41-row chunk — measured 13-15 s
+# per worker under 32-way concurrency at 100k x 100k; the tiled form
+# measures ~3.5-5 s for the same partition (tools/ microbench, round
+# 6), identical output.
+_BLK_W = 4096
+_SCAN_ROW_STEP = 512
+
+
+def _build_blocks(matn: np.ndarray) -> np.ndarray:
+    """(n_blocks, dim, _BLK_W) float32 zero-padded column blocks of a
+    row-major (n, dim) float64 normalized matrix — the fused scan's
+    gemm B operand tiles. Values match the previous
+    ``matn.T.astype(float32)`` operand exactly; padding columns are
+    all-zero (they can only pass a thr <= 0 scan and are dropped by
+    the kernel's explicit width mask)."""
+    n, dim = matn.shape
+    nb = max(1, (n + _BLK_W - 1) // _BLK_W)
+    blk = np.zeros((nb, dim, _BLK_W), dtype=np.float32)
+    mT = matn.T.astype(np.float32)
+    for b in range(nb):
+        w = min(_BLK_W, n - b * _BLK_W)
+        if w > 0:
+            blk[b, :, :w] = mT[:, b * _BLK_W : b * _BLK_W + w]
+    return blk
+
+
+def load_feats_matrix_blocked(ref: dict):
+    """(ids, normalized f64 matrix, nonzero mask, f32 block tiles) of
+    an (id, array<float>) parquet blob — the fused-scan pack.
+
+    Sharded-PARALLEL decode (``_pack_sharded``): every python worker
+    claims parquet parts and decodes them concurrently (the round-5
+    whole-blob ``_pack_once_per_executor`` serialized the ~3 s decode
+    on one worker while 31 polled); one worker then finalizes the
+    concat + f64 normalize + block build. Rows stay in parquet part
+    order (ids aligned with matrix rows); NULL embedding rows are
+    dropped (NULL-cosine never pairs); raises on ragged rows. The
+    normalized f64 values are bit-identical to
+    ``load_feats_matrix_normalized`` (same astype/norm/divide
+    arithmetic, row-wise so the part split cannot change it)."""
+
+    id_col, payload_col = ref["id_col"], ref["payload_col"]
+
+    def part_builder(path):
+        ids, values, lens, null_rows = _read_id_payload_files(
+            [path], id_col, payload_col
+        )
+        if null_rows is not None:
+            keep = ~null_rows
+            ids, lens = ids[keep], lens[keep]
+        if len(ids) == 0:
+            return [ids, np.zeros((0, 0), dtype=np.float32)]
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            bad = int(np.argmax(lens != dim))
+            raise ValueError(
+                f"ragged embeddings: row id={ids[bad]} has dim {lens[bad]}, "
+                f"expected {dim}"
+            )
+        vals = values.astype(np.float32, copy=False).reshape(-1, dim)
+        return [ids, vals]
+
+    def finalize_builder(shards):
+        shards = [s for s in shards if len(s[0])]
+        if not shards:
+            return [
+                np.empty(0, np.int64),
+                np.zeros((0, 0)),
+                np.zeros(0, dtype=bool),
+                np.zeros((0, 0, 0), dtype=np.float32),
+            ]
+        dims = {s[1].shape[1] for s in shards}
+        if len(dims) != 1:
+            raise ValueError(f"ragged embeddings across parts: dims {sorted(dims)}")
+        ids = np.concatenate([s[0] for s in shards])
+        mat = np.vstack([s[1] for s in shards]).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nz = nrm > 0
+        matn = np.divide(mat, nrm[:, None], out=np.zeros_like(mat),
+                         where=nrm[:, None] > 0)
+        return [ids, matn, nz, _build_blocks(matn)]
+
+    (ids, matn, nz, blocks), _ = _pack_sharded(
+        ref, "blk", part_builder, finalize_builder
+    )
+    return ids, matn, nz, blocks
 
 
 def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:
@@ -931,28 +1013,35 @@ _F32_MARGIN = 1e-5
 _RESCORE_HITS = 1 << 16
 
 
-def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
-                       self_mode, chunk_bytes=16 << 20):
-    """Row-chunked threshold gemm for the fused kernels, over
-    PRE-NORMALIZED rows on both sides (``load_feats_matrix_normalized``;
-    callers normalize the query batch in place).
+def _chunked_threshold(q_ids, qm, qz, ids_i, matn, blocks, nz_i, thr, max_k,
+                       self_mode, row_step=_SCAN_ROW_STEP):
+    """Tiled threshold gemm for the fused kernels, over
+    PRE-NORMALIZED rows on both sides (``load_feats_matrix_blocked``;
+    callers normalize the query batch in place). ``blocks`` is the
+    (n_blocks, dim, _BLK_W) f32 tile pack (``_build_blocks``).
 
-    Two measured pathologies shaped this kernel (round 5, 100k x 100k):
-    the one-shot form materialized the FULL |batch| x |index| float64
-    similarity matrix (2.5 GB at 3125 x 100k) plus ~4x temporaries in
-    EVERY worker simultaneously — a page-fault/TLB-shootdown storm
-    (32 workers >99% SYSTEM time, ~0% user; bench_r5_try2). And even
-    chunked, a FRESH output per gemm call is 16x slower than a
-    reused buffer (884 ms vs 55 ms per 80x100k chunk): glibc clamps
-    MMAP_THRESHOLD at 32 MB, so every big temporary is a fresh mmap
-    whose first-touch faults + THP compaction dominate the gemm.
-    Hence: preallocated score/mask/compare buffers +
-    ``np.dot(..., out=)``, and pre-normalized operands so there is no
-    |chunk| x |index| den multiply/divide at all — scores come
-    straight out of the gemm. Chunk size is measured-tuned: at 32-way
-    concurrency the full 100k x 100k scan walls 4.8 s with 16 MB
-    chunks vs 14.5 s at 64 MB (page pressure) and 6.5 s at 8 MB
-    (gemm M too thin).
+    Round-5 history (kept because the same pathologies shape this
+    form): the one-shot kernel materialized the FULL |batch| x
+    |index| f64 similarity matrix per worker (page-fault/TLB storm,
+    bench_r5_try2); the row-chunked full-width kernel fixed that but
+    still streamed the whole 50 MB B operand per 41-row chunk and
+    wrote 3 full-width bool/score passes per chunk — measured 13-15 s
+    per worker at 100k x 100k under 32-way concurrency, nearly all
+    memory-bus time. Round 6 re-tiled it: per row chunk (~512 rows),
+    each ~2 MB B tile is one sgemm into a reused (row_step x _BLK_W)
+    score tile that stays cache-resident through its threshold mask
+    and nonzero — the full-width score matrix never exists, B traffic
+    drops ~12x, and the same partition measures 3.5-5 s (identical
+    output; tools/ microbench, round 6).
+
+    Self-mode column skip: when ``ids_i`` is strictly ascending
+    (parquet part order from the range-partitioned feature write —
+    verified per batch, not assumed), every column with id <= the
+    chunk's min query id is provably masked by ``q_id < id_i``, so
+    whole tiles below that bound are skipped — on average half the
+    scan. The residual per-pair ``q_id < id_i`` filter runs on the
+    HITS only (a few per thousand cells), replacing the round-5
+    full-width comparison matrix.
 
     Zero-norm rows are all-zero after normalization, so they score
     exactly 0.0 and any thr > 0 excludes them for free; thr <= 0
@@ -961,51 +1050,100 @@ def _chunked_threshold(q_ids, qm, qz, ids_i, matn, matn32, nz_i, thr, max_k,
     capping is chunk-local because the cap is per ROW and every chunk
     holds whole rows.
 
-    The scan itself runs in float32 (half the bandwidth, 2x sgemm —
-    the scan is bus-bound at local[32], so this is ~2x wall) against
-    ``thr - _F32_MARGIN``; every surviving pair is re-scored in
-    float64, so the EMITTED edge set and scores are exactly the
+    The scan itself runs in float32 (half the bandwidth, 2x sgemm)
+    against ``thr - _F32_MARGIN``; every surviving pair is re-scored
+    in float64, so the EMITTED edge set and scores are exactly the
     float64 ones. The margin (1e-5) dominates the float32 dot's worst
     error (~sqrt(dim) * 2^-24 ~ 1e-6 for unit rows), so no true pair
-    is lost.
+    is lost. Before the f64 rescore, oversized rows (> max_k f32
+    hits) are pre-filtered to the candidates that can still reach the
+    f64 top-max_k: any hit whose f32 score is more than 2*margin
+    below the row's max_k-th largest f32 score is beaten by >= max_k
+    candidates in f64 with strict inequality (|s32 - s64| < margin on
+    both sides), so it can neither make the cap nor tie at its
+    boundary — dropping it is exact. This cuts the mega-clique
+    rescore from O(clique^2) gathers to O(clique * max_k).
     """
-    n_idx = max(len(ids_i), 1)
+    n_idx = len(ids_i)
+    if n_idx == 0 or len(q_ids) == 0:
+        return
+    n_blocks = blocks.shape[0]
     qm32 = qm.astype(np.float32)
-    m32T = matn32  # already (dim x n) C-contiguous from the pack
-    step = max(16, int(chunk_bytes // (4 * n_idx)))
-    buf = np.empty((min(step, len(q_ids)), n_idx), dtype=np.float32)
-    mbuf = np.empty(buf.shape, dtype=bool)
-    sbuf = np.empty(buf.shape, dtype=bool) if self_mode else None
-    for lo in range(0, len(q_ids), step):
-        hi = min(lo + step, len(q_ids))
-        out = buf[: hi - lo]
-        mask = mbuf[: hi - lo]
-        np.dot(qm32[lo:hi], m32T, out=out)
-        np.greater_equal(out, np.float32(thr - _F32_MARGIN), out=mask)
-        if thr <= 0:
-            # normalized zero-norm rows score 0.0, which a
-            # non-positive threshold would wrongly admit
-            mask &= nz_i[None, :]
-            mask[qz[lo:hi]] = False
-        if self_mode:
-            # preallocated out= — a fresh |chunk| x |index| bool per
-            # chunk was 6.8 s/partition of pure fault handling under
-            # 32-way concurrency (same pathology as the score buffer)
-            sm = sbuf[: hi - lo]
-            np.less(q_ids[lo:hi, None], ids_i[None, :], out=sm)
-            mask &= sm
-        r, c = np.nonzero(mask)
-        if len(r) == 0:
+    ids_sorted = self_mode and (n_idx == 1 or bool((np.diff(ids_i) > 0).all()))
+    thr32 = np.float32(thr - _F32_MARGIN)
+    band32 = np.float32(2 * _F32_MARGIN)
+    # reused score/mask tiles (fresh big outputs pay the first-touch
+    # fault storm — see round-5 notes above)
+    obuf = np.empty(row_step * _BLK_W, dtype=np.float32)
+    mbuf = np.empty(row_step * _BLK_W, dtype=bool)
+    for lo in range(0, len(q_ids), row_step):
+        hi = min(lo + row_step, len(q_ids))
+        rows = hi - lo
+        b0 = 0
+        if ids_sorted:
+            j0 = int(np.searchsorted(ids_i, int(q_ids[lo:hi].min()), side="right"))
+            b0 = j0 // _BLK_W
+        q32c = qm32[lo:hi]
+        hr: list = []
+        hc: list = []
+        hs: list = []
+        for b in range(b0, n_blocks):
+            w = min(_BLK_W, n_idx - b * _BLK_W)
+            out = obuf[: rows * _BLK_W].reshape(rows, _BLK_W)
+            np.dot(q32c, blocks[b], out=out)
+            mask = mbuf[: rows * _BLK_W].reshape(rows, _BLK_W)
+            np.greater_equal(out, thr32, out=mask)
+            if w < _BLK_W:
+                mask[:, w:] = False  # zero-padded tail columns
+            if thr <= 0:
+                # normalized zero-norm rows score 0.0, which a
+                # non-positive threshold would wrongly admit
+                mask[:, :w] &= nz_i[b * _BLK_W : b * _BLK_W + w][None, :]
+                mask[qz[lo:hi]] = False
+            rl, cl = np.nonzero(mask)
+            if len(rl) == 0:
+                continue
+            cg = cl + b * _BLK_W
+            if self_mode:
+                keep = q_ids[lo + rl] < ids_i[cg]
+                if not keep.all():
+                    rl, cl, cg = rl[keep], cl[keep], cg[keep]
+                    if len(rl) == 0:
+                        continue
+            hr.append(rl)
+            hc.append(cg)
+            hs.append(out[rl, cl])
+        if not hr:
             continue
+        r = np.concatenate(hr)
+        c = np.concatenate(hc)
+        s32 = np.concatenate(hs)
+        if len(hr) > 1:
+            # restore global row-major hit order across tiles (the
+            # cap slices rows out of a grouped-ascending r)
+            order = np.lexsort((c, r))
+            r, c, s32 = r[order], c[order], s32[order]
+        if max_k is not None:
+            counts = np.bincount(r, minlength=rows)
+            if (counts > max_k).any():
+                keep = np.ones(len(r), dtype=bool)
+                starts = np.concatenate(([0], np.cumsum(counts)))
+                for ri in np.flatnonzero(counts > max_k):
+                    sl = slice(starts[ri], starts[ri + 1])
+                    srow = s32[sl]
+                    kth = np.partition(srow, len(srow) - max_k)[len(srow) - max_k]
+                    keep[sl] = srow >= kth - band32
+                if not keep.all():
+                    r, c = r[keep], c[keep]
         # exact float64 rescore of the scan's survivors only — in
         # bounded slices: a mega-clique chunk (planted boilerplate,
-        # every pair >= thr) surfaces up to step*n_idx survivors at
-        # once, and a one-shot fancy-index rescore materializes TWO
-        # (hits x dim) float64 copies: ~8 GB/worker at 4M hits x 128
-        # dims, which is what globally OOM'd the 1M IVF flagship
-        # (14 workers at 7.6 GB RSS each, flagship_r5_1m_ivf2.log).
-        # Slicing keeps the peak at ~2 x slice x dim x 8 bytes
-        # (~134 MB) with identical survivors, scores, and cap order.
+        # every pair >= thr) surfaces many survivors at once, and a
+        # one-shot fancy-index rescore materializes TWO (hits x dim)
+        # float64 copies: ~8 GB/worker at 4M hits x 128 dims, which is
+        # what globally OOM'd the 1M IVF flagship (14 workers at
+        # 7.6 GB RSS each, flagship_r5_1m_ivf2.log). Slicing keeps the
+        # peak at ~2 x slice x dim x 8 bytes (~134 MB) with identical
+        # survivors, scores, and cap order.
         if len(r) <= _RESCORE_HITS:
             s = np.einsum("ij,ij->i", qm[lo + r], matn[c])
             keep = s >= thr
@@ -1202,14 +1340,14 @@ def cosine_threshold_edges_ivf(
             h_idx = h_idx[order[:cap]]
         hm = xm[h_idx]
         h_ids = ids[h_idx]
-        h32 = np.ascontiguousarray(hm.T, dtype=np.float32)
+        h_blk = _build_blocks(hm)
         nz_h = np.linalg.norm(hm, axis=1) > 0
         p_ids = ids[p_idx]
         pm = xm[p_idx]
         p_zero = (xn.ravel() <= 0)[p_idx]
         outs = []
         for r, c, s in _chunked_threshold(
-            p_ids, pm, p_zero, h_ids, hm, h32, nz_h, thr, mk,
+            p_ids, pm, p_zero, h_ids, hm, h_blk, nz_h, thr, mk,
             self_mode=False,
         ):
             a = p_ids[r]
@@ -1257,8 +1395,7 @@ def cosine_threshold_edges(
     thr = float(threshold)
 
     def edges(batches):
-        ids_i, matn, nz_i = load_feats_matrix_normalized(ref)
-        _, matn32, _ = load_feats_matrix_normalized_f32(ref)
+        ids_i, matn, nz_i, blocks = load_feats_matrix_blocked(ref)
         for pdf_b in batches:
             if len(pdf_b) == 0:
                 continue
@@ -1272,7 +1409,7 @@ def cosine_threshold_edges(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qm = np.divide(q, qn, out=q, where=qn > 0)  # zero rows stay 0
             for r_g, c, sc in _chunked_threshold(
-                a_ids, qm, qn.ravel() <= 0, ids_i, matn, matn32, nz_i, thr,
+                a_ids, qm, qn.ravel() <= 0, ids_i, matn, blocks, nz_i, thr,
                 max_k, self_mode=True,
             ):
                 yield pd.DataFrame(
@@ -1324,8 +1461,7 @@ def cosine_cross_threshold_edges(
     thr = float(threshold)
 
     def edges(batches):
-        ids_i, matn, nz_i = load_feats_matrix_normalized(ref)
-        _, matn32, _ = load_feats_matrix_normalized_f32(ref)
+        ids_i, matn, nz_i, blocks = load_feats_matrix_blocked(ref)
         for pdf_b in batches:
             if len(pdf_b) == 0 or len(ids_i) == 0:
                 continue
@@ -1339,7 +1475,7 @@ def cosine_cross_threshold_edges(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qm = np.divide(q, qn, out=q, where=qn > 0)
             for r_g, c, sc in _chunked_threshold(
-                q_ids, qm, qn.ravel() <= 0, ids_i, matn, matn32, nz_i, thr,
+                q_ids, qm, qn.ravel() <= 0, ids_i, matn, blocks, nz_i, thr,
                 max_k, self_mode=False,
             ):
                 yield pd.DataFrame(

@@ -113,6 +113,8 @@ def test_chunked_threshold_kernel_edges():
         _chunked_threshold,
     )
 
+    from semhash_spark.operators.verify import _build_blocks
+
     rng = np.random.default_rng(7)
     matn = rng.standard_normal((50, 16))
     matn[3] = 0.0  # zero-norm row
@@ -120,7 +122,7 @@ def test_chunked_threshold_kernel_edges():
     matn = np.divide(matn, nrm, out=matn, where=nrm > 0)
     nz = nrm.ravel() > 0
     ids = np.arange(50, dtype=np.int64)
-    m32 = np.ascontiguousarray(matn.T, dtype=np.float32)
+    m32 = _build_blocks(matn)
 
     # thr <= 0: every non-zero-norm ordered pair passes; none touch
     # the zero-norm row on either side
@@ -203,7 +205,7 @@ def test_rescore_slicing_is_output_invariant(monkeypatch):
     matn = np.divide(matn, nrm, out=matn, where=nrm > 0)
     nz = nrm.ravel() > 0
     ids = np.arange(80, dtype=np.int64)
-    m32 = np.ascontiguousarray(matn.T, dtype=np.float32)
+    m32 = V._build_blocks(matn)
 
     def run():
         out = [

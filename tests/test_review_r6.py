@@ -1,0 +1,150 @@
+"""Round-6 optimization invariants.
+
+The fused cosine scan was re-tiled in round 6 (blocked f32 gemm +
+sorted-id tile skip + f32 prefilter before the f64 rescore,
+operators/verify.py:_chunked_threshold). These tests pin the
+optimization to the brute-force f64 semantics: the emitted edge set,
+the bit-exact f64 scores, and the per-row cap must be IDENTICAL to a
+naive full-matrix evaluation for every code path the kernel has —
+multi-tile inputs, unsorted index ids (skip disabled), oversized rows
+(prefilter active), cross mode, and thr <= 0 zero-norm masking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import semhash_spark.operators.verify as V
+
+
+def _mk(n, dim, seed, clique=0, zero_rows=()):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    if clique:
+        base = rng.standard_normal(dim)
+        m[:clique] = base + 0.03 * rng.standard_normal((clique, dim))
+    for z in zero_rows:
+        m[z] = 0.0
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    matn = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
+    return matn, nrm.ravel() > 0
+
+
+def _brute(q_ids, qm, qz, ids_i, matn, nz_i, thr, max_k, self_mode):
+    """Naive f64 reference: all pairs scored with the SAME einsum op
+    the kernel's rescore uses (a dgemm sums in a different order and
+    can differ in the last ulp), threshold, per-row cap by
+    (score desc, id asc)."""
+    out = []
+    nj = len(ids_i)
+    for i in range(len(q_ids)):
+        if thr <= 0 and qz[i]:
+            continue
+        s_row = np.einsum(
+            "ij,ij->i", np.broadcast_to(qm[i], (nj, qm.shape[1])), matn
+        )
+        cand = []
+        for j in range(nj):
+            if self_mode and not q_ids[i] < ids_i[j]:
+                continue
+            if thr <= 0 and not nz_i[j]:
+                continue
+            if s_row[j] >= thr:
+                cand.append((j, s_row[j]))
+        if max_k is not None and len(cand) > max_k:
+            cand.sort(key=lambda t: (-t[1], ids_i[t[0]]))
+            cand = cand[:max_k]
+        for j, sc in cand:
+            out.append((int(q_ids[i]), int(ids_i[j]), float(sc)))
+    return sorted(out)
+
+
+def _run(q_ids, qm, qz, ids_i, matn, nz_i, thr, max_k, self_mode,
+         row_step=64):
+    blocks = V._build_blocks(matn)
+    got = []
+    for r, c, s in V._chunked_threshold(
+            q_ids, qm, qz, ids_i, matn, blocks, nz_i, thr, max_k,
+            self_mode=self_mode, row_step=row_step):
+        got.extend(zip(q_ids[r].tolist(), ids_i[c].tolist(), s.tolist()))
+    return sorted(got)
+
+
+def test_tiled_kernel_matches_bruteforce_multitile():
+    """> _BLK_W index rows => multiple tiles, including a padded tail."""
+    n = V._BLK_W + 700
+    matn, nz = _mk(n, 8, 3)
+    ids = np.arange(n, dtype=np.int64) * 2 + 1  # sorted, non-contiguous
+    q_sel = np.arange(0, n, 97)
+    got = _run(ids[q_sel], matn[q_sel], ~nz[q_sel], ids, matn, nz,
+               0.6, None, self_mode=True)
+    want = _brute(ids[q_sel], matn[q_sel], ~nz[q_sel], ids, matn, nz,
+                  0.6, None, self_mode=True)
+    assert got == want and len(got) > 0
+
+
+def test_tiled_kernel_unsorted_ids_no_skip():
+    """Unsorted index ids disable the tile skip; results unchanged."""
+    matn, nz = _mk(300, 16, 5)
+    ids = np.arange(300, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(300)
+    got = _run(ids, matn, ~nz, ids[perm], matn[perm], nz[perm],
+               0.5, None, self_mode=True)
+    want = _brute(ids, matn, ~nz, ids[perm], matn[perm], nz[perm],
+                  0.5, None, self_mode=True)
+    assert got == want and len(got) > 0
+
+
+def test_tiled_kernel_prefilter_cap_exact():
+    """A clique far larger than max_k exercises the f32 prefilter;
+    the capped edge set and f64 scores must equal brute force."""
+    matn, nz = _mk(400, 12, 9, clique=250)
+    ids = np.arange(400, dtype=np.int64)
+    for max_k in (5, 40):
+        got = _run(ids, matn, ~nz, ids, matn, nz, 0.7, max_k,
+                   self_mode=True)
+        want = _brute(ids, matn, ~nz, ids, matn, nz, 0.7, max_k,
+                      self_mode=True)
+        assert got == want
+        assert len(got) > 250  # the clique actually paired and capped
+
+
+def test_tiled_kernel_cross_and_zero_threshold():
+    matn, nz = _mk(150, 10, 13, zero_rows=(4, 77))
+    q, qnz = _mk(60, 10, 14, zero_rows=(8,))
+    ids = np.arange(150, dtype=np.int64)
+    q_ids = np.arange(1000, 1060, dtype=np.int64)
+    got = _run(q_ids, q, ~qnz, ids, matn, nz, -0.2, 9, self_mode=False)
+    want = _brute(q_ids, q, ~qnz, ids, matn, nz, -0.2, 9, self_mode=False)
+    assert got == want and len(got) > 0
+
+
+def test_blocked_pack_matches_normalized_loader(spark, tmp_path):
+    """load_feats_matrix_blocked (sharded pack) must reproduce the
+    round-5 whole-blob normalized pack bit-for-bit: same ids (parquet
+    part order), same f64 normalized rows, same nz mask, and block
+    tiles equal to matn.T.astype(f32)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    n = 500
+    emb = [rng.standard_normal(16).astype(np.float32).tolist() for _ in range(n)]
+    emb[7] = None  # NULL row: dropped by both packs
+    emb[12] = [0.0] * 16  # zero-norm row: kept, nz False
+    df = spark.createDataFrame(
+        pd.DataFrame({"record_id": np.arange(n), "embedding": emb}),
+        schema="record_id long, embedding array<float>",
+    ).repartition(7, F.col("record_id"))
+    ref = V.materialize_feats(df, "record_id", "embedding", "t_blk")
+
+    ids_a, matn_a, nz_a = V.load_feats_matrix_normalized(ref)
+    ids_b, matn_b, nz_b, blocks = V.load_feats_matrix_blocked(ref)
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(np.asarray(matn_a), np.asarray(matn_b))
+    assert np.array_equal(np.asarray(nz_a), np.asarray(nz_b))
+    flat = np.concatenate(
+        [np.asarray(blocks[b]) for b in range(blocks.shape[0])], axis=1
+    )[:, : len(ids_b)]
+    assert np.array_equal(flat, np.asarray(matn_b).T.astype(np.float32))
