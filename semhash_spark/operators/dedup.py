@@ -384,6 +384,7 @@ def deduplicate(
     index_keys: DataFrame | None = None,
     index_bands: DataFrame | None = None,
     index_blob_ref: dict | None = None,
+    index_bands_thinned: bool = False,
 ) -> DedupResult:
     """Cross-dataset dedup of ``query_df`` against fitted ``index_df``.
 
@@ -402,6 +403,12 @@ def deduplicate(
     """
     threshold = cfg.threshold if threshold is None else threshold
     id_col = cfg.id_col
+    # a memoized, PRE-THINNED index band table (api.prepare_index)
+    # skips the per-call full-index bucket-size aggregation
+    cross_cap = (
+        None if (index_bands is not None and index_bands_thinned)
+        else cfg.bucket_cap
+    )
 
     persisted: list = []
     kept, exact_dups = cross_exact_split(
@@ -433,7 +440,7 @@ def deduplicate(
                             "sig", cfg.bands, id_col, cfg.rows_per_band)
         )
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
-                                      bucket_cap=cfg.bucket_cap)
+                                      bucket_cap=cross_cap)
     elif mode == "simhash":
         qb = explode_band_array(
             q_feats.where(F.size("shingles") > 0)
@@ -452,7 +459,7 @@ def deduplicate(
             )
         )
         cands = candidate_pairs_cross(qb, ib, id_col, broadcast_query,
-                                      bucket_cap=cfg.bucket_cap)
+                                      bucket_cap=cross_cap)
     elif mode == "cosine":
         # Never a cartesian (VERDICT r3 #1). Two scale-safe plans,
         # mirroring _candidates_self/self_deduplicate:
@@ -513,7 +520,7 @@ def deduplicate(
             ib = index_bands if index_bands is not None else _hp_bands(index_feats)
             cands = candidate_pairs_cross(
                 _hp_bands(q_feats), ib, id_col, broadcast_query,
-                bucket_cap=cfg.bucket_cap,
+                bucket_cap=cross_cap,
             )
     else:  # jaccard_exact: explicit brute-force correctness baseline
         cands = (
@@ -603,6 +610,7 @@ def incremental_deduplicate(
     index_keys: DataFrame | None = None,
     index_bands: DataFrame | None = None,
     index_blob_ref: dict | None = None,
+    index_bands_thinned: bool = False,
 ) -> DedupResult:
     """Dedup a NEW ingest batch against the pipeline's PRIOR
     ``selected`` output and then within itself — the production
@@ -633,6 +641,7 @@ def incremental_deduplicate(
         index_feats=index_feats, broadcast_query=broadcast_query,
         index_keys=index_keys, index_bands=index_bands,
         index_blob_ref=index_blob_ref,
+        index_bands_thinned=index_bands_thinned,
     )
     survivors = cross.selected
     intra = self_deduplicate(survivors, cfg, mode, threshold)

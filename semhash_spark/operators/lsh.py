@@ -124,6 +124,18 @@ def explode_band_array(
     )
 
 
+def _seg_ramp(lens):
+    """[0..lens[0]-1, 0..lens[1]-1, ...] per-segment position index."""
+    import numpy as np
+
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+
+
 def candidate_pairs_self(
     bands_df: DataFrame,
     bucket_cap: int = 1000,
@@ -135,44 +147,204 @@ def candidate_pairs_self(
     Small buckets -> all pairs; oversized buckets -> star edges to
     the bucket min-id (skew guard, see module docstring).
 
-    ``persisted``: pass a list to receive the two frames this
-    operator caches (band table, annotated buckets) so the caller can
-    unpersist them when the result is consumed — without it they stay
-    cached for the session lifetime (the r3 harness-leak sweep traced
-    its leaked RDDs here).
+    Plan (round 6 — one band shuffle, was three): the band table is
+    hash-repartitioned on the bucket key, locally sorted by
+    (bucket key, id), and a streaming Arrow generator emits each
+    bucket's pairs directly — all-pairs for buckets <= ``bucket_cap``,
+    star edges (min-id -> member) above it. The round-5 relational
+    form shuffled the band table for a sizes aggregate, joined the
+    sizes back, self-joined the annotated table on the bucket key and
+    cached both intermediates; the 100k bench spent ~4-5 s there and
+    the 3M flagship 41% of its wall. The generator's memory is
+    bounded by construction: ids arrive ascending within a bucket, so
+    a bucket is buffered only up to ``bucket_cap`` ids — the moment
+    it overflows, the buffer flushes as star edges (the first id IS
+    the bucket min) and the rest of the bucket streams through
+    without being held, however large it is (a 10^9-member
+    boilerplate bucket costs one task O(cap) memory). Emitted pair
+    sets are identical to the relational form; ``distinct`` then
+    collapses cross-band repeats exactly as before.
+
+    ``persisted`` is kept for call-site compatibility; this form
+    caches nothing (the band table is consumed exactly once).
     """
-    # the band table feeds the sizes agg, the annotate join, and both
-    # sides of the pair self-join — cache it (ids + hashes only) so
-    # the upstream signature stage runs once, not 4x
-    bands_df = bands_df.persist()
-    if persisted is not None:
-        persisted.append(bands_df)
-    # keep only buckets that can pair (n > 1) BEFORE joining back:
-    # the overwhelming majority of buckets are singletons, so this
-    # turns the annotate join from a 1:1 SMJ over the whole band
-    # table into a small (usually broadcast) inner join that also
-    # prunes the singleton rows
-    sizes = (
-        bands_df.groupBy(*BAND_COLS)
-        .agg(F.count("*").alias("bucket_n"), F.min(id_col).alias("bucket_min"))
-        .where(F.col("bucket_n") > 1)
-    )
-    annotated = bands_df.join(sizes, list(BAND_COLS)).persist()
-    if persisted is not None:
-        persisted.append(annotated)
-
-    small = annotated.where(F.col("bucket_n") <= bucket_cap)
-    a = small.select(*BAND_COLS, F.col(id_col).alias("a"))
-    b = small.select(*BAND_COLS, F.col(id_col).alias("b"))
-    pairs_small = a.join(b, list(BAND_COLS)).where(F.col("a") < F.col("b"))
-
-    pairs_big = (
-        annotated.where(F.col("bucket_n") > bucket_cap)
-        .where(F.col(id_col) != F.col("bucket_min"))
-        .select(F.col("bucket_min").alias("a"), F.col(id_col).alias("b"))
+    cap = int(bucket_cap)
+    st = (
+        bands_df.select(*BAND_COLS, F.col(id_col).alias("_id"))
+        .repartition(*[F.col(c) for c in BAND_COLS])
+        .sortWithinPartitions(*BAND_COLS, "_id")
     )
 
-    return pairs_small.select("a", "b").union(pairs_big).distinct()
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        carry_key = None  # bucket key open at the last batch boundary
+        carry_ids = None  # buffered ids of the open bucket (<= cap)
+        star_min = None   # not None => the open bucket overflowed cap
+
+        def bucket_pairs(ids_seg):
+            """(a, b) arrays for ONE completed bucket (ascending ids)."""
+            k = len(ids_seg)
+            if k < 2:
+                return None
+            if k > cap:
+                return np.repeat(ids_seg[0], k - 1), ids_seg[1:]
+            rep = np.arange(k, dtype=np.int64)
+            b = np.repeat(ids_seg, rep)
+            a = ids_seg[_seg_ramp(rep)]
+            return a, b
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            bi = pdf["band_idx"].to_numpy()
+            bh = pdf["band_hash"].to_numpy()
+            ids = pdf["_id"].to_numpy().astype(np.int64, copy=False)
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            np.logical_or(bi[1:] != bi[:-1], bh[1:] != bh[:-1], out=new_seg[1:])
+            seg_starts = np.flatnonzero(new_seg)
+            n_seg = len(seg_starts)
+            seg_ends = np.append(seg_starts[1:], n)
+            out_a: list = []
+            out_b: list = []
+            s_first = 0
+            first_key = (bi[0], bh[0])
+            if carry_key is not None:
+                if first_key == carry_key:
+                    seg0 = ids[: seg_ends[0]]
+                    open_at_end = n_seg == 1
+                    if star_min is not None:
+                        out_a.append(np.repeat(star_min, len(seg0)))
+                        out_b.append(seg0)
+                    else:
+                        merged = np.concatenate([carry_ids, seg0])
+                        if open_at_end and len(merged) <= cap:
+                            carry_ids = merged
+                            if out_a:
+                                yield pd.DataFrame(
+                                    {"a": np.concatenate(out_a),
+                                     "b": np.concatenate(out_b)})
+                            continue
+                        if len(merged) > cap:
+                            # overflow: flush as star NOW (first id is
+                            # the bucket min under the ascending sort)
+                            # and stream the rest without buffering
+                            star_min = merged[0]
+                            out_a.append(np.repeat(star_min, len(merged) - 1))
+                            out_b.append(merged[1:])
+                            carry_ids = None
+                            if open_at_end:
+                                if out_a:
+                                    yield pd.DataFrame(
+                                        {"a": np.concatenate(out_a),
+                                         "b": np.concatenate(out_b)})
+                                continue
+                        else:
+                            p = bucket_pairs(merged)
+                            if p is not None:
+                                out_a.append(p[0])
+                                out_b.append(p[1])
+                    if not open_at_end:
+                        carry_key = None
+                        carry_ids = None
+                        star_min = None
+                        s_first = 1
+                    else:
+                        if out_a:
+                            yield pd.DataFrame(
+                                {"a": np.concatenate(out_a),
+                                 "b": np.concatenate(out_b)})
+                        continue
+                else:
+                    # the carried bucket closed at the batch boundary
+                    if star_min is None and carry_ids is not None:
+                        p = bucket_pairs(carry_ids)
+                        if p is not None:
+                            out_a.append(p[0])
+                            out_b.append(p[1])
+                    carry_key = None
+                    carry_ids = None
+                    star_min = None
+
+            # segments [s_first, n_seg - 1) are complete: vectorized
+            # pair emission across all of them at once
+            if n_seg - 1 > s_first:
+                seg_len = seg_ends - seg_starts
+                seg_id = np.cumsum(new_seg) - 1
+                complete = np.zeros(n_seg, dtype=bool)
+                complete[s_first : n_seg - 1] = True
+                small = complete & (seg_len >= 2) & (seg_len <= cap)
+                big = complete & (seg_len > cap)
+                f_elem = seg_starts[seg_id]
+                local = np.arange(n, dtype=np.int64) - f_elem
+                if small.any():
+                    sel = small[seg_id]
+                    rep = local[sel]
+                    b_s = np.repeat(ids[sel], rep)
+                    base = np.repeat(f_elem[sel], rep)
+                    a_s = ids[base + _seg_ramp(rep)]
+                    out_a.append(a_s)
+                    out_b.append(b_s)
+                if big.any():
+                    m = big[seg_id] & (local > 0)
+                    out_a.append(ids[f_elem[m]])
+                    out_b.append(ids[m])
+
+            # the batch's last segment becomes (or stays) the carry
+            last = ids[seg_starts[-1] :]
+            carry_key = (bi[-1], bh[-1])
+            if len(last) > cap:
+                star_min = last[0]
+                out_a.append(np.repeat(star_min, len(last) - 1))
+                out_b.append(last[1:])
+                carry_ids = None
+            else:
+                star_min = None
+                carry_ids = last.copy()
+            if out_a:
+                yield pd.DataFrame(
+                    {"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+        if carry_key is not None and star_min is None and carry_ids is not None:
+            p = bucket_pairs(carry_ids)
+            if p is not None:
+                yield pd.DataFrame({"a": p[0], "b": p[1]})
+
+    return st.mapInPandas(gen, "a long, b long").distinct()
+
+
+def thin_index_bands(
+    index_bands: DataFrame, bucket_cap: int, id_col: str = "record_id"
+) -> DataFrame:
+    """Consistent-hash thinning of oversized index-side buckets (the
+    cross-dedup skew guard — see ``candidate_pairs_cross``). Pure
+    function of (band table, cap): a fitted index can thin ONCE at
+    prepare time and reuse the result for every query batch — round 5
+    re-ran this full-index aggregation inside every ``deduplicate``
+    call (the dominant dedup-only cost at the 4.3k-vs-1.8M reference
+    shape). Keep-rate comparison in DOUBLES: pmod/2^31 (uniform
+    [0,1)) vs cap/bucket_n — no integer product, so the predicate
+    cannot overflow however large bucket_n grows (ADVICE r3: the
+    earlier pmod * bucket_n form wrapped negative past bucket_n ~
+    4.29e9, silently disabling thinning on exactly the mega-buckets
+    the cap exists to protect against)."""
+    big = (
+        index_bands.groupBy(*BAND_COLS)
+        .agg(F.count("*").alias("bucket_n"))
+        .where(F.col("bucket_n") > bucket_cap)
+    )
+    scale = 1 << 31
+    return index_bands.join(big, list(BAND_COLS), "left").where(
+        F.col("bucket_n").isNull()
+        | (
+            F.pmod(F.xxhash64(id_col), F.lit(scale)).cast("double")
+            / F.lit(float(scale))
+            < F.lit(float(bucket_cap)) / F.col("bucket_n").cast("double")
+        )
+    ).drop("bucket_n")
 
 
 def candidate_pairs_cross(
@@ -214,26 +386,7 @@ def candidate_pairs_cross(
     q = query_bands.select(*BAND_COLS, F.col(id_col).alias("query_id"))
     i = index_bands.select(*BAND_COLS, F.col(id_col).alias("index_id"))
     if bucket_cap is not None:
-        big = (
-            i.groupBy(*BAND_COLS)
-            .agg(F.count("*").alias("bucket_n"))
-            .where(F.col("bucket_n") > bucket_cap)
-        )
-        # keep-rate comparison in DOUBLES: pmod/2^31 (uniform [0,1))
-        # vs cap/bucket_n — no integer product, so the predicate
-        # cannot overflow however large bucket_n grows (ADVICE r3:
-        # the earlier pmod * bucket_n form wrapped negative past
-        # bucket_n ~ 4.29e9, silently disabling thinning on exactly
-        # the mega-buckets the cap exists to protect against)
-        scale = 1 << 31
-        i = i.join(big, list(BAND_COLS), "left").where(
-            F.col("bucket_n").isNull()
-            | (
-                F.pmod(F.xxhash64("index_id"), F.lit(scale)).cast("double")
-                / F.lit(float(scale))
-                < F.lit(float(bucket_cap)) / F.col("bucket_n").cast("double")
-            )
-        ).drop("bucket_n")
+        i = thin_index_bands(i, bucket_cap, "index_id")
     if broadcast_query:
         q = F.broadcast(q)
     return q.join(i, list(BAND_COLS)).select("query_id", "index_id").distinct()

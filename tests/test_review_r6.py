@@ -148,3 +148,65 @@ def test_blocked_pack_matches_normalized_loader(spark, tmp_path):
         [np.asarray(blocks[b]) for b in range(blocks.shape[0])], axis=1
     )[:, : len(ids_b)]
     assert np.array_equal(flat, np.asarray(matn_b).T.astype(np.float32))
+
+
+def _relational_pairs(spark, rows, cap):
+    """The round-5 relational candidate plan, inlined as the parity
+    reference: sizes agg + annotate + small self-join / big star."""
+    from pyspark.sql import functions as F
+
+    bands = spark.createDataFrame(
+        rows, "record_id long, band_idx int, band_hash long")
+    sizes = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n"), F.min("record_id").alias("mn"))
+        .where(F.col("n") > 1)
+    )
+    ann = bands.join(sizes, ["band_idx", "band_hash"])
+    small = ann.where(F.col("n") <= cap)
+    a = small.select("band_idx", "band_hash", F.col("record_id").alias("a"))
+    b = small.select("band_idx", "band_hash", F.col("record_id").alias("b"))
+    ps = a.join(b, ["band_idx", "band_hash"]).where(F.col("a") < F.col("b"))
+    pb = (ann.where(F.col("n") > cap)
+          .where(F.col("record_id") != F.col("mn"))
+          .select(F.col("mn").alias("a"), F.col("record_id").alias("b")))
+    return {(r.a, r.b) for r in
+            ps.select("a", "b").union(pb).distinct().collect()}
+
+
+def test_streaming_candidate_pairs_match_relational(spark):
+    """The round-6 one-shuffle streaming candidate generator must emit
+    the exact pair set of the round-5 relational plan on a skewed
+    band table — including buckets far above the star cap and buckets
+    spanning Arrow batch boundaries (forced tiny batches)."""
+    import itertools
+
+    from semhash_spark.operators.lsh import candidate_pairs_self
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # bucket sizes: singletons, small, cap-boundary, mega (star)
+    bucket_sizes = [1] * 50 + [2] * 20 + [5] * 10 + [19, 20, 21, 300, 777]
+    rid = itertools.count()
+    for bidx, size in enumerate(bucket_sizes):
+        h = int(rng.integers(1 << 40))
+        for _ in range(size):
+            rows.append((next(rid), bidx % 4, h))
+    # records in several buckets + shared hashes across band_idx
+    for i in range(0, 200, 7):
+        rows.append((i, 3, 12345))
+    rng.shuffle(rows)
+
+    bands = spark.createDataFrame(
+        rows, "record_id long, band_idx int, band_hash long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    for cap, batch in ((20, "64"), (20, "50000"), (3, "64")):
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch)
+        try:
+            got = {(r.a, r.b) for r in
+                   candidate_pairs_self(bands, cap, "record_id").collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        want = _relational_pairs(spark, rows, cap)
+        assert got == want and len(got) > 500, (cap, batch, len(got), len(want))
