@@ -121,6 +121,9 @@ class SparkSemHash:
         # built once per fit so repeated deduplicate() calls skip the
         # blob write (the reference's dedup-only benchmark split)
         self._idx_blob_ref: dict | None = None
+        # minhash single-job cross-dedup blob refs (keys/bands/
+        # shingles), built by prepare_index for large fitted sides
+        self._idx_cross_blobs: dict | None = None
         # memoized exemplar-embedding frame for the rank surfaces in
         # minhash/simhash mode (VERDICT r3 #4: self_rank followed by
         # find_representative used to re-run the featurize UDF over
@@ -196,6 +199,7 @@ class SparkSemHash:
         self._idx_keys = None
         self._idx_bands = None
         self._idx_blob_ref = None  # temp blob files are reaped at exit
+        self._idx_cross_blobs = None
         self._emb_feats = None
 
     # ---------------------------------------------------------- dedup
@@ -217,10 +221,29 @@ class SparkSemHash:
         ``deduplicate`` call builds the memos lazily."""
         self._require_fit()
         self._build_cross_memos()
-        self._feats.count()
+        n_feats = self._feats.count()
         self._idx_keys.count()
         if self._idx_bands is not None:
             self._idx_bands.count()
+        # large minhash fitted sides additionally serialize the index
+        # as executor-side blobs so deduplicate() is ONE map-only job
+        # (operators/crossblob.py); below the gate the relational plan
+        # wins, so small fits skip the build entirely
+        from semhash_spark.operators.verify import blob_transport_available
+
+        if (
+            self.mode == "minhash"
+            and self._idx_cross_blobs is None
+            and self.cfg.cross_blob_min_rows is not None
+            and n_feats >= self.cfg.cross_blob_min_rows
+            and blob_transport_available(self._feats.sparkSession)
+        ):
+            from semhash_spark.operators.crossblob import build_cross_blobs
+
+            self._idx_cross_blobs = build_cross_blobs(
+                self._feats.select(self.cfg.id_col, "shingles"),
+                self._idx_keys, self._idx_bands, self.cfg.id_col,
+            )
         return self
 
     def _build_cross_memos(self) -> None:
@@ -332,6 +355,7 @@ class SparkSemHash:
             index_bands=self._idx_bands,
             index_blob_ref=self._idx_blob_ref,
             index_bands_thinned=True,
+            index_cross_blobs=self._idx_cross_blobs,
         )
 
     def incremental(
@@ -359,6 +383,7 @@ class SparkSemHash:
             index_bands=self._idx_bands,
             index_blob_ref=self._idx_blob_ref,
             index_bands_thinned=True,
+            index_cross_blobs=self._idx_cross_blobs,
         )
 
     # ----------------------------------------------------- rank-based

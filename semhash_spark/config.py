@@ -102,6 +102,17 @@ class DedupConfig:
     # sub-clusters connected for min-id CC. None = uncapped.
     cosine_max_k: int | None = 100
 
+    # --- cross-dedup single-job blob index ---
+    # fitted indexes at or above this many exemplar rows get their
+    # exact-key / thinned-band / shingle structures packed as
+    # executor-side blobs at prepare_index() time, and deduplicate()
+    # answers query batches in ONE map-only job instead of the
+    # relational plan (whose per-call cost is full scans of the
+    # fitted caches — the reference-benchmark dedup-only shape).
+    # Below the gate the relational plan is cheaper than the blob
+    # build. None disables the path.
+    cross_blob_min_rows: int | None = 300_000
+
     # --- connected components ---
     # verified-edge sets at or below this resolve on the driver
     # (numpy label propagation); above it, distributed alternating

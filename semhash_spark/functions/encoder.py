@@ -29,6 +29,16 @@ def _token_hash(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "little")
 
 
+def _ramp(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]-1, 0..lens[1]-1, ...] per-segment position index."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+
+
 def encode_texts(
     texts: list[str] | pd.Series, dim: int = 64, ngram: int = 1
 ) -> np.ndarray:
@@ -50,23 +60,62 @@ def encode_texts(
         texts = texts.fillna("").tolist()
     n = len(texts)
     tok_lists = [t.split() for t in texts]
+    tlens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
     if ngram > 1:
-        tok_lists = [
-            [" ".join(t[i : i + ngram]) for i in range(len(t) - ngram + 1)]
-            for t in tok_lists
-        ]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        lens = np.maximum(tlens - (ngram - 1), 0)
+    else:
+        lens = tlens
     total = int(lens.sum())
     if total == 0:
         return np.zeros((n, dim), dtype=np.float32)
     flat = np.asarray(list(itertools.chain.from_iterable(tok_lists)), dtype=object)
     codes, uniq = pd.factorize(flat, sort=False)
-    h = np.fromiter((_token_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq))
-    idx = (h % np.uint64(dim)).astype(np.int64)
-    sign = np.where((h >> np.uint64(8)) & np.uint64(1) == 1, 1.0, -1.0)
+    if ngram == 1:
+        h = np.fromiter(
+            (_token_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        hh = h[codes]
+    elif len(uniq) ** ngram < 1 << 62:
+        # n-gram path without materializing one joined string PER
+        # OCCURRENCE (round 6: the per-occurrence " ".join dominated
+        # the featurize stage): factorize single tokens once, pack
+        # each n-gram's token codes into one int64 key, unique the
+        # keys, and build + sha1 only the UNIQUE n-gram strings. The
+        # strings hashed are identical to the per-occurrence form, so
+        # the embedding is bit-identical.
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(tlens[:-1], out=offs[1:])
+        starts = np.repeat(offs, lens) + _ramp(lens)
+        K = len(uniq)
+        packed = codes[starts].astype(np.int64)
+        for j in range(1, ngram):
+            packed = packed * K + codes[starts + j]
+        uniq_keys, inv = np.unique(packed, return_inverse=True)
+        digs = np.empty((len(uniq_keys), ngram), dtype=np.int64)
+        rem = uniq_keys
+        for j in range(ngram - 1, -1, -1):
+            digs[:, j] = rem % K
+            rem = rem // K
+        h = np.fromiter(
+            (_token_hash(" ".join(uniq[d] for d in row)) for row in digs),
+            dtype=np.uint64, count=len(uniq_keys),
+        )
+        hh = h[inv]
+    else:  # astronomically wide code space: per-occurrence fallback
+        grams = [
+            " ".join(t[i : i + ngram]) for t in tok_lists
+            for i in range(len(t) - ngram + 1)
+        ]
+        gcodes, guniq = pd.factorize(np.asarray(grams, dtype=object), sort=False)
+        h = np.fromiter(
+            (_token_hash(t) for t in guniq), dtype=np.uint64, count=len(guniq)
+        )
+        hh = h[gcodes]
+    idx = (hh % np.uint64(dim)).astype(np.int64)
+    sign = np.where((hh >> np.uint64(8)) & np.uint64(1) == 1, 1.0, -1.0)
     rows = np.repeat(np.arange(n), lens)
     out = np.bincount(
-        rows * dim + idx[codes], weights=sign[codes], minlength=n * dim
+        rows * dim + idx, weights=sign, minlength=n * dim
     ).reshape(n, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)

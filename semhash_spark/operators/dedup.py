@@ -385,6 +385,7 @@ def deduplicate(
     index_bands: DataFrame | None = None,
     index_blob_ref: dict | None = None,
     index_bands_thinned: bool = False,
+    index_cross_blobs: dict | None = None,
 ) -> DedupResult:
     """Cross-dataset dedup of ``query_df`` against fitted ``index_df``.
 
@@ -411,6 +412,34 @@ def deduplicate(
     )
 
     persisted: list = []
+    if mode == "minhash" and index_cross_blobs is not None:
+        # single-job blob path (reference-benchmark shape): exact +
+        # band-probe + verify fused into one map-only pass over the
+        # query side against the fitted index's mmap blobs — no
+        # index-side scan per call (operators/crossblob.py)
+        from semhash_spark.operators.crossblob import cross_match_blob
+
+        out = cross_match_blob(
+            query_df, cfg, index_cross_blobs, threshold, id_col
+        ).persist()
+        persisted.append(out)
+        ex_hits = out.where(F.col("exact")).select(
+            F.col("query_id"), F.col("match_id").alias("exemplar_id")
+        )
+        hits = out.where(~F.col("exact")).select(
+            "query_id", F.col("match_id").alias("index_id"), "score"
+        )
+        kept = query_df.join(
+            ex_hits.select("query_id"),
+            query_df[id_col] == F.col("query_id"), "left_anti",
+        ).persist()
+        persisted.append(kept)
+        exact_dups = query_df.join(
+            ex_hits, query_df[id_col] == F.col("query_id"), "inner"
+        ).drop("query_id")
+        return _cross_result(
+            kept, exact_dups, hits, cfg, threshold, id_col, persisted
+        )
     kept, exact_dups = cross_exact_split(
         query_df, index_df, cfg.columns, id_col, index_keys=index_keys
     )
@@ -552,7 +581,14 @@ def deduplicate(
             )
         hits = scored.where(F.col("score") >= threshold).persist()
     persisted.append(hits)
+    return _cross_result(kept, exact_dups, hits, cfg, threshold, id_col, persisted)
 
+
+def _cross_result(kept, exact_dups, hits, cfg, threshold, id_col, persisted):
+    """Shared result assembly for the cross paths: best-match per
+    filtered query, selected anti-join, filtered/pairs frames.
+    ``exact_dups`` must carry ``exemplar_id``; an ``exact_key`` column
+    is dropped if present (the blob path never builds one)."""
     best = hits.groupBy("query_id").agg(
         F.max_by(F.col("index_id"), F.struct(F.col("score"), -F.col("index_id"))).alias(
             "exemplar_id"
@@ -611,6 +647,7 @@ def incremental_deduplicate(
     index_bands: DataFrame | None = None,
     index_blob_ref: dict | None = None,
     index_bands_thinned: bool = False,
+    index_cross_blobs: dict | None = None,
 ) -> DedupResult:
     """Dedup a NEW ingest batch against the pipeline's PRIOR
     ``selected`` output and then within itself — the production
@@ -642,6 +679,7 @@ def incremental_deduplicate(
         index_keys=index_keys, index_bands=index_bands,
         index_blob_ref=index_blob_ref,
         index_bands_thinned=index_bands_thinned,
+        index_cross_blobs=index_cross_blobs,
     )
     survivors = cross.selected
     intra = self_deduplicate(survivors, cfg, mode, threshold)

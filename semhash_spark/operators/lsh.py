@@ -75,6 +75,30 @@ def optimal_bands(
     return best[1], best[2]
 
 
+def band_hash_array(
+    sig_col: str, bands: int, rows_per_band: int | None = None
+):
+    """array<long> of the ``bands`` band hashes of a signature column
+    (element b = the hash ``band_table`` emits at band_idx b).
+
+    "let g = sig in ..." binding: the signature expression is
+    evaluated once per row even if Catalyst inlines it here.
+    The band hash is one xxhash64 over the band's signature values
+    fetched by element_at — no per-band array slice allocation.
+    """
+    if rows_per_band is not None:
+        tup = ", ".join(f"g[b * {rows_per_band} + {j}]" for j in range(rows_per_band))
+        body = f"xxhash64({tup})"
+    else:
+        body = f"xxhash64(slice(g, b * (size(g) div {bands}) + 1, size(g) div {bands}))"
+    return F.expr(
+        f"""
+        element_at(transform(array({sig_col}), g ->
+          transform(sequence(0, {bands - 1}), b -> {body})), 1)
+        """
+    )
+
+
 def band_table(
     df: DataFrame,
     sig_col: str,
@@ -94,21 +118,7 @@ def band_table(
     stateful streaming matcher keeps the signature itself; the batch
     path keeps nothing — ids and hashes only in the shuffle).
     """
-    # "let g = sig in ..." binding: the signature expression is
-    # evaluated once per row even if Catalyst inlines it here.
-    # The band hash is one xxhash64 over the band's signature values
-    # fetched by element_at — no per-band array slice allocation.
-    if rows_per_band is not None:
-        tup = ", ".join(f"g[b * {rows_per_band} + {j}]" for j in range(rows_per_band))
-        body = f"xxhash64({tup})"
-    else:
-        body = f"xxhash64(slice(g, b * (size(g) div {bands}) + 1, size(g) div {bands}))"
-    sliced = F.expr(
-        f"""
-        element_at(transform(array({sig_col}), g ->
-          transform(sequence(0, {bands - 1}), b -> {body})), 1)
-        """
-    )
+    sliced = band_hash_array(sig_col, bands, rows_per_band)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
