@@ -67,6 +67,64 @@ def membw_canary_seconds() -> float:
     return time.perf_counter() - t0
 
 
+class RssSampler:
+    """Background thread sampling total RSS of this session's python
+    workers + JVM every 0.5 s (sum over /proc/*/status of processes
+    whose ancestry includes this pid) — peak memory evidence for the
+    VERDICT r5 item-4 bound without external deps."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.peak_gb = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _descendants(self) -> set[int]:
+        import os
+
+        kids: dict[int, list[int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(") ", 1)[1].split()
+                kids.setdefault(int(parts[1]), []).append(int(pid))
+            except (OSError, IndexError, ValueError):
+                continue
+        out, todo = set(), [__import__("os").getpid()]
+        while todo:
+            p = todo.pop()
+            out.add(p)
+            todo.extend(kids.get(p, []))
+        return out
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            total = 0
+            for pid in self._descendants():
+                try:
+                    with open(f"/proc/{pid}/status") as fh:
+                        for line in fh:
+                            if line.startswith("VmRSS:"):
+                                total += int(line.split()[1])
+                                break
+                except OSError:
+                    continue
+            self.peak_gb = max(self.peak_gb, total / (1 << 20))
+            self._stop.wait(0.5)
+
+    def start(self) -> "RssSampler":
+        self._t.start()
+        return self
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._t.join(timeout=2)
+        return round(self.peak_gb, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n", nargs="?", type=int, default=1_000_000)
@@ -140,6 +198,7 @@ def main() -> None:
     spark.range(1000).mapInPandas(lambda it: (p for p in it), "id long").count()
 
     runs = []
+    rss = RssSampler().start()
     for i in range(args.runs):
         stages: dict = {}
         t0 = time.perf_counter()
@@ -151,7 +210,9 @@ def main() -> None:
         runs.append({"sec": sec, "stages": stages,
                      "load1": round(os.getloadavg()[0], 1)})
         print(f"[flagship] run {i}: {sec}s stages={stages} "
-              f"sel={n_sel} fil={n_fil}", file=sys.stderr)
+              f"sel={n_sel} fil={n_fil} peak_rss_gb={rss.peak_gb:.1f}",
+              file=sys.stderr)
+    peak_rss_gb = rss.stop()
     spark.stop()
     c1 = canary_seconds()
     m1 = membw_canary_seconds()
@@ -162,7 +223,7 @@ def main() -> None:
         "star_cc": args.star_cc, "skew": args.skew, "cpus": cpus,
         "best_sec": best, "files_per_sec": round(args.n / best, 1),
         "n_selected": n_sel, "n_filtered": n_fil,
-        "runs": runs,
+        "runs": runs, "peak_rss_gb": peak_rss_gb,
         "canary_before_sec": round(c0, 2), "canary_after_sec": round(c1, 2),
         "membw_before_sec": round(m0, 2), "membw_after_sec": round(m1, 2),
     }))
