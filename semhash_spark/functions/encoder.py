@@ -145,7 +145,20 @@ def embed_udf(dim: int = 64, ngram: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(s: pd.Series) -> pd.Series:
-        mat = encode_texts(s, dim, ngram)
+        # encode in bounded row slices: a 50k-row Arrow batch of ~1 KB
+        # texts explodes into ~6M python token strings at once inside
+        # encode_texts (~0.4-0.7 GB/worker high-water, which the malloc
+        # arenas then RETAIN — the dominant worker-RSS term measured at
+        # the 1M flagship). Per-row output is independent of the slice
+        # split, so this is bit-identical.
+        step = 8192
+        if len(s) <= step:
+            mat = encode_texts(s, dim, ngram)
+        else:
+            mat = np.vstack([
+                encode_texts(s.iloc[lo:lo + step], dim, ngram)
+                for lo in range(0, len(s), step)
+            ])
         return pd.Series(list(mat))
 
     return _embed

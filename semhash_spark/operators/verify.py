@@ -1329,7 +1329,28 @@ def cosine_threshold_edges_ivf(
         "score": np.array([], dtype=np.float64),
     }
 
+    def _trim_arenas():
+        # return the group's freed buffers to the OS between groups:
+        # MALLOC_TRIM_THRESHOLD_ is pinned high (session.py) to stop
+        # per-allocation mmap churn INSIDE the kernels, which makes
+        # each worker retain its high-water (~0.5 GB after a mega-cell
+        # group x 32 workers was most of the measured 21 GB worker
+        # RSS at the 1M flagship). One malloc_trim per GROUP is
+        # coarse enough to keep the anti-churn benefit.
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
+
     def scan(pdf):
+        try:
+            return _scan_inner(pdf)
+        finally:
+            _trim_arenas()
+
+    def _scan_inner(pdf):
         if len(pdf) < 2:
             return pd.DataFrame(_empty)
         ids = pdf[id_col].to_numpy(dtype=np.int64)

@@ -77,6 +77,10 @@ class RssSampler:
         import threading
 
         self.peak_gb = 0.0
+        # python workers only (pyspark.daemon tree) — the executor-
+        # realistic number: on a cluster the JVM heap is provisioned
+        # separately while worker RSS is what memoryOverhead must cover
+        self.peak_workers_gb = 0.0
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
 
@@ -103,16 +107,23 @@ class RssSampler:
     def _run(self) -> None:
         while not self._stop.is_set():
             total = 0
+            workers = 0
             for pid in self._descendants():
                 try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                        is_worker = b"pyspark.daemon" in fh.read()
                     with open(f"/proc/{pid}/status") as fh:
                         for line in fh:
                             if line.startswith("VmRSS:"):
-                                total += int(line.split()[1])
+                                kb = int(line.split()[1])
+                                total += kb
+                                if is_worker:
+                                    workers += kb
                                 break
                 except OSError:
                     continue
             self.peak_gb = max(self.peak_gb, total / (1 << 20))
+            self.peak_workers_gb = max(self.peak_workers_gb, workers / (1 << 20))
             self._stop.wait(0.5)
 
     def start(self) -> "RssSampler":
@@ -140,6 +151,9 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true",
                     help="plant an n/10-member boilerplate mega-bucket")
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--ivf-group-cap", type=int, default=None,
+                    help="override DedupConfig.ivf_group_cap (salted "
+                         "probe-group bound; output-invariant)")
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -171,6 +185,8 @@ def main() -> None:
         )
     if args.star_cc:
         cfg = cfg.with_(driver_cc_cap=0)
+    if args.ivf_group_cap is not None:
+        cfg = cfg.with_(ivf_group_cap=args.ivf_group_cap)
 
     c0 = canary_seconds()
     m0 = membw_canary_seconds()
@@ -224,6 +240,7 @@ def main() -> None:
         "best_sec": best, "files_per_sec": round(args.n / best, 1),
         "n_selected": n_sel, "n_filtered": n_fil,
         "runs": runs, "peak_rss_gb": peak_rss_gb,
+        "peak_rss_workers_gb": round(rss.peak_workers_gb, 2),
         "canary_before_sec": round(c0, 2), "canary_after_sec": round(c1, 2),
         "membw_before_sec": round(m0, 2), "membw_after_sec": round(m1, 2),
     }))
