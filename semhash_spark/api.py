@@ -272,8 +272,22 @@ class SparkSemHash:
             # function of the fitted side): repeated deduplicate()
             # calls skip the full-index bucket-size aggregation that
             # dominated dedup-only time at the 4.3k-vs-1.8M shape
+            # the oversized-bucket list is bounded at band_rows/cap
+            # entries; below ~4M such entries (~100 MB worst-case
+            # broadcast) hint it broadcast so the annotate join never
+            # re-shuffles the full band table at memo-build time
+            n_ex = self._feats.count()
+            bands_n = self.cfg.bands if self.mode == "minhash" else (
+                self.cfg.simhash_bands if self.mode == "simhash"
+                else self.cfg.hyperplane_bands
+            )
+            bcast = (n_ex * bands_n) // max(self.cfg.bucket_cap, 1) <= 4_000_000
+
             def _thin(bt):
-                return thin_index_bands(bt, self.cfg.bucket_cap, self.cfg.id_col)
+                return thin_index_bands(
+                    bt, self.cfg.bucket_cap, self.cfg.id_col,
+                    broadcast_big=bcast,
+                )
 
             if self.mode == "minhash":
                 self._idx_bands = _thin(band_table(

@@ -327,7 +327,8 @@ def candidate_pairs_self(
 
 
 def thin_index_bands(
-    index_bands: DataFrame, bucket_cap: int, id_col: str = "record_id"
+    index_bands: DataFrame, bucket_cap: int, id_col: str = "record_id",
+    broadcast_big: bool = False,
 ) -> DataFrame:
     """Consistent-hash thinning of oversized index-side buckets (the
     cross-dedup skew guard — see ``candidate_pairs_cross``). Pure
@@ -346,6 +347,17 @@ def thin_index_bands(
         .agg(F.count("*").alias("bucket_n"))
         .where(F.col("bucket_n") > bucket_cap)
     )
+    if broadcast_big:
+        # the oversized-bucket list is arithmetically bounded at
+        # <= band_rows / cap entries (each needs > cap members), so a
+        # caller that KNOWS band_rows can assert broadcastability and
+        # skip the SortMergeJoin the planner otherwise picks (no
+        # stats on an aggregate: the annotate join re-shuffled the
+        # whole band table, measured +5 s on corpus_fit at 100k).
+        # Callers without the bound keep the no-hint form — AQE
+        # converts at runtime when small, and a pathological count of
+        # oversized buckets degrades to a shuffle join, never an OOM.
+        big = F.broadcast(big)
     scale = 1 << 31
     return index_bands.join(big, list(BAND_COLS), "left").where(
         F.col("bucket_n").isNull()
