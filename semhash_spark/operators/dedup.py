@@ -253,7 +253,7 @@ def self_deduplicate(
             f"edges_{mode}",
             lambda: cosine_threshold_edges(
                 feats, threshold, id_col, cfg.embedding_col,
-                max_k=cfg.cosine_max_k,
+                max_k=cfg.cosine_max_k, n_rows=n_feats,
             ),
         )
     elif mode == "cosine" and cfg.cosine_candidates == "ivf":

@@ -1401,12 +1401,23 @@ def cosine_threshold_edges_ivf(
     return edges.distinct()
 
 
+# below this many rows the fused self-scan keeps the input's own
+# partitioning; at or above it the query side is range-split into
+# 4x-parallelism tasks so the scheduler can interleave the long
+# low-id tasks (which scan nearly the full index width under the
+# sorted-id tile skip) with the short high-id ones — without the
+# split, the per-task wall eats back most of the skip's halving
+# (measured: max worker 5.2 s vs median 3.4 s at 100k x 100k)
+_SCAN_SPLIT_MIN_ROWS = 50_000
+
+
 def cosine_threshold_edges(
     feats: DataFrame,
     threshold: float,
     id_col: str = "record_id",
     emb_col: str = "embedding",
     max_k: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b, score) with cosine >= threshold — fused
     candidate generation + verification via broadcast matmul.
@@ -1449,9 +1460,14 @@ def cosine_threshold_edges(
                     {"a": a_ids[r_g], "b": ids_i[c], "score": sc}
                 )
 
-    return feats.select(id_col, emb_col).mapInPandas(
-        edges, "a long, b long, score double"
-    )
+    q = feats.select(id_col, emb_col)
+    if n_rows is not None and n_rows >= _SCAN_SPLIT_MIN_ROWS:
+        spark = feats.sparkSession
+        n_split = 4 * max(spark.sparkContext.defaultParallelism, 8)
+        # range split preserves per-task id contiguity, so the tile
+        # skip stays fully effective inside each finer task
+        q = q.repartitionByRange(n_split, F.col(id_col))
+    return q.mapInPandas(edges, "a long, b long, score double")
 
 
 def cosine_cross_threshold_edges(
