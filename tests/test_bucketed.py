@@ -26,10 +26,11 @@ def bucketed_pair(spark, tmp_path_factory):
         # "location already exists", so clear the path too
         import os
         import shutil
+        from urllib.parse import urlparse
 
-        shutil.rmtree(
-            os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
-        )
+        wh_path = urlparse(wh).path if "://" in wh else wh.removeprefix("file:")
+        if wh_path:
+            shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
     write_bucketed(a, "t_bucketed_a", buckets=8)
     write_bucketed(b, "t_bucketed_b", buckets=8)
     yield "t_bucketed_a", "t_bucketed_b"

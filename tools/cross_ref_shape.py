@@ -61,7 +61,9 @@ def main() -> None:
     # query batch is verbatim clones of index rows under fresh ids
     # (exact-dup leakage, like real train/test contamination) and
     # half is the fresh disjoint tail.
-    n_clone = args.n_query // 2
+    # clones must come from index rows; a query batch wider than 2x the
+    # index would otherwise re-label query-tail rows as "clones"
+    n_clone = min(args.n_query // 2, args.n_index)
     clones = (
         total.where(F.col("record_id") < n_clone)
         .withColumn(
