@@ -117,6 +117,7 @@ class SparkSemHash:
         # split (benchmarks/README.md:43-61)
         self._idx_keys: DataFrame | None = None
         self._idx_bands: DataFrame | None = None
+        self._idx_bands_thinned: bool = True
         # cosine mode, fused path: the index-side embedding blob ref,
         # built once per fit so repeated deduplicate() calls skip the
         # blob write (the reference's dedup-only benchmark split)
@@ -198,6 +199,7 @@ class SparkSemHash:
         self._ranking = None
         self._idx_keys = None
         self._idx_bands = None
+        self._idx_bands_thinned = True
         self._idx_blob_ref = None  # temp blob files are reaped at exit
         self._idx_cross_blobs = None
         self._emb_feats = None
@@ -267,12 +269,17 @@ class SparkSemHash:
                 thin_index_bands,
             )
 
-            # memoized band tables are stored PRE-THINNED (the
-            # oversized-bucket consistent-hash sampling is a pure
+            # LARGE fitted sides store their band memo PRE-THINNED
+            # (the oversized-bucket consistent-hash sampling is a pure
             # function of the fitted side): repeated deduplicate()
             # calls skip the full-index bucket-size aggregation that
-            # dominated dedup-only time at the 4.3k-vs-1.8M shape
-            # the oversized-bucket list is bounded at band_rows/cap
+            # dominated dedup-only time at the 4.3k-vs-1.8M shape.
+            # SMALL sides (< cross_thin_min_rows, unless the blob path
+            # will consume the bands) keep the memo unthinned and thin
+            # per call instead — at e.g. a 99k index the extra
+            # band-table aggregation pass costs more at fit time than
+            # it ever saves per call. Identical results either way.
+            # The oversized-bucket list is bounded at band_rows/cap
             # entries; below ~4M such entries (~100 MB worst-case
             # broadcast) hint it broadcast so the annotate join never
             # re-shuffles the full band table at memo-build time
@@ -282,8 +289,17 @@ class SparkSemHash:
                 else self.cfg.hyperplane_bands
             )
             bcast = (n_ex * bands_n) // max(self.cfg.bucket_cap, 1) <= 4_000_000
+            blob_will_consume = (
+                self.mode == "minhash"
+                and self.cfg.cross_blob_min_rows is not None
+                and n_ex >= self.cfg.cross_blob_min_rows
+            )
+            pre_thin = blob_will_consume or n_ex >= self.cfg.cross_thin_min_rows
+            self._idx_bands_thinned = pre_thin
 
             def _thin(bt):
+                if not pre_thin:
+                    return bt
                 return thin_index_bands(
                     bt, self.cfg.bucket_cap, self.cfg.id_col,
                     broadcast_big=bcast,
@@ -368,7 +384,7 @@ class SparkSemHash:
             index_keys=self._idx_keys,
             index_bands=self._idx_bands,
             index_blob_ref=self._idx_blob_ref,
-            index_bands_thinned=True,
+            index_bands_thinned=self._idx_bands_thinned,
             index_cross_blobs=self._idx_cross_blobs,
         )
 
@@ -396,7 +412,7 @@ class SparkSemHash:
             index_keys=self._idx_keys,
             index_bands=self._idx_bands,
             index_blob_ref=self._idx_blob_ref,
-            index_bands_thinned=True,
+            index_bands_thinned=self._idx_bands_thinned,
             index_cross_blobs=self._idx_cross_blobs,
         )
 

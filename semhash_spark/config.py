@@ -113,6 +113,17 @@ class DedupConfig:
     # build. None disables the path.
     cross_blob_min_rows: int | None = 300_000
 
+    # Fitted sides at or above this many exemplars store their band
+    # memo PRE-thinned (the oversized-bucket aggregation runs once at
+    # prepare_index, not per deduplicate call — the dominant dedup-only
+    # cost at the 4.3k-queries-vs-1.8M reference shape). Below it the
+    # memo stays unthinned and candidate_pairs_cross thins per call:
+    # at small index sizes the per-call aggregate costs less than the
+    # extra band-table pass at fit time. Results are identical either
+    # way (same consistent-hash filter). The blob path always consumes
+    # pre-thinned bands, so cross_blob_min_rows also forces thinning.
+    cross_thin_min_rows: int = 300_000
+
     # --- connected components ---
     # verified-edge sets at or below this resolve on the driver
     # (numpy label propagation); above it, distributed alternating

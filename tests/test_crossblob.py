@@ -27,10 +27,11 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
-def _run(spark, corpus, min_rows, bucket_cap=200):
+def _run(spark, corpus, min_rows, bucket_cap=200, thin_min=300_000):
     cfg = DedupConfig(
         columns=("content",), threshold=0.8, shingle_k=5, num_perm=128,
         bands=32, bucket_cap=bucket_cap, cross_blob_min_rows=min_rows,
+        cross_thin_min_rows=thin_min,
     )
     idx = corpus.where(F.col("record_id") < 2500)
     # query mix: fresh tail rows (disjoint + boiler overlap), verbatim
@@ -81,6 +82,19 @@ def test_blob_cross_matches_relational(spark, corpus):
     n_exact = sum(1 for r in blob["filtered"] if r[3])
     n_sem = sum(1 for r in blob["filtered"] if not r[3])
     assert n_exact >= 40 and n_sem > 0 and len(blob["selected"]) > 0
+
+
+def test_prethinned_memo_matches_per_call_thinning(spark, corpus):
+    """The cross_thin_min_rows gate (round 6): a small fitted side
+    stores its band memo UNTHINNED and thins per deduplicate call;
+    forcing thin-at-prepare (thin_min=0) must read the exact same
+    thinned buckets. bucket_cap=3 so thinning actually engages."""
+    per_call = _run(spark, corpus, min_rows=None, bucket_cap=3)
+    pre_thin = _run(spark, corpus, min_rows=None, bucket_cap=3, thin_min=0)
+    assert not per_call["blob_used"] and not pre_thin["blob_used"]
+    assert per_call["selected"] == pre_thin["selected"]
+    assert per_call["filtered"] == pre_thin["filtered"]
+    assert per_call["pairs"] == pre_thin["pairs"]
 
 
 def test_blob_cross_matches_relational_tiny_cap(spark, corpus):

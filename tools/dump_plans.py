@@ -82,6 +82,15 @@ def main() -> None:
     dump("cross_dedup_filtered", res.filtered)
     dump("cross_dedup_pairs", res.pairs)
 
+    # small-index relational path: below cross_thin_min_rows the band
+    # memo stays unthinned and candidate_pairs_cross thins per call
+    # (round-6 gate; large/blob-consuming fits pre-thin at prepare)
+    if hasattr(code_cfg, "cross_thin_min_rows"):
+        sh2 = SparkSemHash(code_cfg, mode="minhash").fit(idx)
+        sh2.prepare_index()
+        res2 = sh2.deduplicate(q, broadcast_query=True)
+        dump("cross_dedup_small_pairs", res2.pairs)
+
     from semhash_spark.functions.hashing import shingle_hashes
     from semhash_spark.operators.containment import containment_edges
 
