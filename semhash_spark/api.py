@@ -250,10 +250,19 @@ class SparkSemHash:
 
     def _build_cross_memos(self) -> None:
         if self._idx_keys is None:
-            from semhash_spark.operators.exact import index_key_table
+            # (exact_key, exemplar_id) per distinct fitted key. Each
+            # group's exemplar IS its min-id row, and those rows are
+            # exactly the persisted exemplars — so the key table is a
+            # narrow projection of a cache that already exists, not a
+            # fourth sha pass + groupBy over the full fitted table
+            # (index_key_table stays available for callers without a
+            # fitted exemplar cache; equivalence is pinned by
+            # tests/test_exact.py::test_index_key_table_reuse_matches_recompute).
+            from semhash_spark.operators.exact import EXACT_KEY
 
-            self._idx_keys = index_key_table(
-                self._df, self.cfg.columns, self.cfg.id_col
+            self._idx_keys = self._exemplars.select(
+                F.col(EXACT_KEY),
+                F.col(self.cfg.id_col).alias("exemplar_id"),
             ).persist()
         if self._idx_blob_ref is not None:
             # cosine fused path already memoized: don't re-run the

@@ -42,11 +42,21 @@ def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataF
     group), ``is_exact_dup`` (true for non-exemplar group members).
     Selected rows = ``record_id == exemplar_id``.
     """
+    from pyspark.sql import Window
+
     keyed = with_exact_key(df, columns)
     keys = keyed.select(F.col(id_col), F.col(EXACT_KEY))
-    groups = keys.groupBy(EXACT_KEY).agg(F.min(id_col).alias("_ex_min"))
+    # group-min via a window over the (id, key) projection: ONE pass
+    # computes every row's exemplar, so the duplicate annotation falls
+    # out as a filter — the round-5 groupBy + join-back form scanned
+    # (and re-hashed) the projection twice and shuffled it twice for
+    # the same relation. Unordered frame: WindowExec buffers one key
+    # group at a time and spills, so a giant exact group degrades to
+    # disk, never OOM (same single-task routing the join form had).
     dup_ann = (
-        keys.join(groups, EXACT_KEY)
+        keys.withColumn(
+            "_ex_min", F.min(id_col).over(Window.partitionBy(EXACT_KEY))
+        )
         .where(F.col(id_col) != F.col("_ex_min"))
         .select(F.col(id_col), F.col("_ex_min"))
     )

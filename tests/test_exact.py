@@ -117,3 +117,29 @@ def test_index_key_table_reuse_matches_recompute(spark):
         assert got1 == got2 == {(10, 0), (12, 3)}
     finally:
         keys.unpersist()
+
+
+def test_api_idx_keys_projection_matches_index_key_table(spark):
+    """api._build_cross_memos derives the fitted key table as a
+    projection of the persisted exemplars (each exact group's min-id
+    row IS its exemplar); it must equal index_key_table over the full
+    fitted frame, including under exact-duplicate groups."""
+    from semhash_spark.api import SparkSemHash
+    from semhash_spark.config import DedupConfig
+    from semhash_spark.operators.exact import index_key_table
+
+    idx = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a"), (3, "c"), (4, "b"), (5, "b")],
+        "record_id long, text string",
+    )
+    sh = SparkSemHash(DedupConfig(columns=("text",)), mode="minhash").fit(idx)
+    try:
+        sh._build_cross_memos()
+        got = {(r.exact_key, r.exemplar_id) for r in sh._idx_keys.collect()}
+        want = {
+            (r.exact_key, r.exemplar_id)
+            for r in index_key_table(idx, ("text",)).collect()
+        }
+        assert got == want and len(got) == 3
+    finally:
+        sh.release()
