@@ -303,17 +303,23 @@ def self_deduplicate(
             driver_cap=cc_cap,
         ),
     )
+    if checkpointer is None:
+        # narrow (id, cluster_id) cache — one row per dup-graph node —
+        # so the star path's union/distinct never re-runs per action
+        # (the driver path's LocalRelation is cheap either way)
+        cc = cc.persist()
+        persisted.append(cc)
 
     ex = exemplars.join(cc, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col))
     )
-    if checkpointer is None:
-        # selected, filtered AND pairs are separate downstream actions
-        # over this join; cache the labeled exemplars so it runs once
-        # (VERDICT r2 #4: result bookkeeping re-ran the cc join per
-        # action)
-        ex = ex.persist()
-        persisted.append(ex)
+    # selected/filtered/pairs are separate downstream actions over
+    # this join, but caching it (round 2..5) materialized a SECOND
+    # full-width copy of the corpus (keyed above is already cached and
+    # cc is a small broadcast): each action now re-runs the broadcast
+    # join against the keyed cache with column pruning — a count()
+    # reads two narrow columns instead of filling a wide cache, and
+    # the duplicate cache memory is gone at scale.
     sel = ex.where(F.col("cluster_id") == F.col(id_col)).drop(
         "cluster_id", "exemplar_id", "is_exact_dup", "exact_key"
     )
