@@ -638,18 +638,55 @@ def _build_blocks(matn: np.ndarray) -> np.ndarray:
     return blk
 
 
+class _ShardRows:
+    """Lazy row provider for the fused kernels' f64 rescore: fancy
+    indexing (``rows[c]`` with an int array) reconstructs normalized
+    float64 rows on demand from the mmap'd f32 shard packs instead of
+    a materialized (n, dim) f64 matrix. Reconstruction is the exact
+    arithmetic the round-5 finalize ran over the full matrix —
+    f32 -> f64 upcast (lossless), divide by the precomputed f64 row
+    norm, zero-norm rows stay all-zero — applied to just the gathered
+    rows, so values are bit-identical while the pack neither computes
+    nor writes the 2x-blob-size f64 matrix (at 100k x 128 that was a
+    100 MB compute + 100 MB disk write per call; at the 2M-row fused
+    cap it would be 2 GB)."""
+
+    def __init__(self, flats, starts, nrm):
+        self._flats = flats      # list of (n_k, dim) f32 mmaps, non-empty
+        self._starts = starts    # int64 start row of each shard
+        self._nrm = nrm          # (n,) f64 row norms, global order
+
+    def __getitem__(self, idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        dim = self._flats[0].shape[1] if self._flats else 0
+        out = np.empty((len(idx), dim), dtype=np.float64)
+        if len(idx):
+            sh = np.searchsorted(self._starts, idx, side="right") - 1
+            for k in np.unique(sh):
+                m = sh == k
+                out[m] = self._flats[k][idx[m] - self._starts[k]]
+        nr = self._nrm[idx][:, None]
+        return np.divide(out, nr, out=np.zeros_like(out), where=nr > 0)
+
+
 def load_feats_matrix_blocked(ref: dict):
-    """(ids, normalized f64 matrix, nonzero mask, f32 block tiles) of
-    an (id, array<float>) parquet blob — the fused-scan pack.
+    """(ids, normalized-f64 row provider, nonzero mask, f32 block
+    tiles) of an (id, array<float>) parquet blob — the fused-scan
+    pack.
 
     Sharded-PARALLEL decode (``_pack_sharded``): every python worker
     claims parquet parts and decodes them concurrently (the round-5
     whole-blob ``_pack_once_per_executor`` serialized the ~3 s decode
     on one worker while 31 polled); one worker then finalizes the
-    concat + f64 normalize + block build. Rows stay in parquet part
-    order (ids aligned with matrix rows); NULL embedding rows are
-    dropped (NULL-cosine never pairs); raises on ragged rows. The
-    normalized f64 values are bit-identical to
+    small global arrays (ids, row norms, nz, f32 block tiles) —
+    streaming each shard through the normalize + tile fill, so the
+    full (n, dim) float64 matrix is never materialized or written
+    (it was the dominant finalize compute + disk cost; the rescore
+    only ever gathers a few rows per chunk, now served by
+    ``_ShardRows`` from the shard mmaps with identical values). Rows
+    stay in parquet part order (ids aligned with matrix rows); NULL
+    embedding rows are dropped (NULL-cosine never pairs); raises on
+    ragged rows. Row values are bit-identical to
     ``load_feats_matrix_normalized`` (same astype/norm/divide
     arithmetic, row-wise so the part split cannot change it)."""
 
@@ -679,25 +716,48 @@ def load_feats_matrix_blocked(ref: dict):
         if not shards:
             return [
                 np.empty(0, np.int64),
-                np.zeros((0, 0)),
+                np.zeros(0),
                 np.zeros(0, dtype=bool),
                 np.zeros((0, 0, 0), dtype=np.float32),
             ]
         dims = {s[1].shape[1] for s in shards}
         if len(dims) != 1:
             raise ValueError(f"ragged embeddings across parts: dims {sorted(dims)}")
+        dim = dims.pop()
         ids = np.concatenate([s[0] for s in shards])
-        mat = np.vstack([s[1] for s in shards]).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        nz = nrm > 0
-        matn = np.divide(mat, nrm[:, None], out=np.zeros_like(mat),
-                         where=nrm[:, None] > 0)
-        return [ids, matn, nz, _build_blocks(matn)]
+        n = len(ids)
+        nb = max(1, (n + _BLK_W - 1) // _BLK_W)
+        blocks = np.zeros((nb, dim, _BLK_W), dtype=np.float32)
+        nrm = np.empty(n, dtype=np.float64)
+        r0 = 0
+        for s in shards:
+            a = s[1].astype(np.float64)
+            nr = np.linalg.norm(a, axis=1)
+            an = np.divide(a, nr[:, None], out=np.zeros_like(a),
+                           where=nr[:, None] > 0)
+            nrm[r0 : r0 + len(nr)] = nr
+            # fill this shard's global column range of the tiles —
+            # values identical to _build_blocks over the full matrix
+            anT = an.T.astype(np.float32)
+            c0 = r0
+            while c0 < r0 + len(nr):
+                b = c0 // _BLK_W
+                w = min((b + 1) * _BLK_W, r0 + len(nr)) - c0
+                blocks[b][:, c0 - b * _BLK_W : c0 - b * _BLK_W + w] = (
+                    anT[:, c0 - r0 : c0 - r0 + w]
+                )
+                c0 += w
+            r0 += len(nr)
+        return [ids, nrm, nrm > 0, blocks]
 
-    (ids, matn, nz, blocks), _ = _pack_sharded(
+    (ids, nrm, nz, blocks), shard_groups = _pack_sharded(
         ref, "blk", part_builder, finalize_builder
     )
-    return ids, matn, nz, blocks
+    flats = [g[1] for g in shard_groups if len(g[0])]
+    starts = np.concatenate(
+        ([0], np.cumsum([f.shape[0] for f in flats])[:-1])
+    ).astype(np.int64) if flats else np.zeros(1, dtype=np.int64)
+    return ids, _ShardRows(flats, starts, np.asarray(nrm)), nz, blocks
 
 
 def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:

@@ -140,14 +140,21 @@ def test_blocked_pack_matches_normalized_loader(spark, tmp_path):
     ref = V.materialize_feats(df, "record_id", "embedding", "t_blk")
 
     ids_a, matn_a, nz_a = V.load_feats_matrix_normalized(ref)
-    ids_b, matn_b, nz_b, blocks = V.load_feats_matrix_blocked(ref)
+    ids_b, rows_b, nz_b, blocks = V.load_feats_matrix_blocked(ref)
     assert np.array_equal(ids_a, ids_b)
-    assert np.array_equal(np.asarray(matn_a), np.asarray(matn_b))
+    # the blocked pack serves rows lazily (_ShardRows): gathering every
+    # row must reproduce the whole-blob normalized matrix bit-for-bit,
+    # in order, in duplicate, and in arbitrary permutation
+    full = rows_b[np.arange(len(ids_b))]
+    assert np.array_equal(np.asarray(matn_a), full)
+    rng2 = np.random.default_rng(5)
+    sel = rng2.integers(0, len(ids_b), size=777)
+    assert np.array_equal(np.asarray(matn_a)[sel], rows_b[sel])
     assert np.array_equal(np.asarray(nz_a), np.asarray(nz_b))
     flat = np.concatenate(
         [np.asarray(blocks[b]) for b in range(blocks.shape[0])], axis=1
     )[:, : len(ids_b)]
-    assert np.array_equal(flat, np.asarray(matn_b).T.astype(np.float32))
+    assert np.array_equal(flat, full.T.astype(np.float32))
 
 
 def _relational_pairs(spark, rows, cap):
