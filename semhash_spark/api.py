@@ -140,7 +140,19 @@ class SparkSemHash:
         self._df = df
         keyed = self_exact_dedup(df, cfg.columns, cfg.id_col)
         self._exemplars = keyed.where(~F.col("is_exact_dup")).persist()
-        self._feats = dedup_ops.add_features(self._exemplars, cfg, self.mode).persist()
+        # cache only (id, feature cols): every consumer (band memos,
+        # cross blobs, verify rehydration, the embedding blob) selects
+        # exactly these — the full-width persist duplicated the content
+        # payload already held by the exemplar cache
+        feat_cols = {
+            "minhash": ["shingles", "sig"],
+            "simhash": ["shingles", "sim64"],
+            "cosine": [cfg.embedding_col],
+            "jaccard_exact": ["shingles"],
+        }[self.mode]
+        self._feats = dedup_ops.add_features(self._exemplars, cfg, self.mode).select(
+            cfg.id_col, *feat_cols
+        ).persist()
         return self
 
     @classmethod
