@@ -191,7 +191,11 @@ def self_deduplicate(
             frame.count()
             stage_times[name] = round(_time.perf_counter() - t0, 3)
 
-    keyed = ck("exact", lambda: self_exact_dedup(df, cfg.columns, id_col))
+    # with_key=False: every output of this pipeline drops exact_key,
+    # so the wide branch skips the second sha pass entirely
+    keyed = ck(
+        "exact", lambda: self_exact_dedup(df, cfg.columns, id_col, with_key=False)
+    )
     if checkpointer is None:
         # selected/filtered/pairs are separate actions on this DAG;
         # without a parquet checkpoint, cache the shared stages so
@@ -453,7 +457,7 @@ def deduplicate(
     persisted.append(kept)
 
     # the index side collapses to exact-group exemplars before matching
-    idx_ex = self_exact_dedup(index_df, cfg.columns, id_col)
+    idx_ex = self_exact_dedup(index_df, cfg.columns, id_col, with_key=False)
     idx_exemplars = idx_ex.where(~F.col("is_exact_dup")).drop(
         "exemplar_id", "is_exact_dup"
     )

@@ -35,17 +35,23 @@ def with_exact_key(df: DataFrame, columns) -> DataFrame:
     return df.withColumn(EXACT_KEY, exact_key(columns, df))
 
 
-def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataFrame:
+def self_exact_dedup(
+    df: DataFrame, columns, id_col: str = "record_id", with_key: bool = True
+) -> DataFrame:
     """Annotate each row with its exact-group exemplar.
 
-    Output adds: ``exact_key``, ``exemplar_id`` (min record_id of the
-    group), ``is_exact_dup`` (true for non-exemplar group members).
-    Selected rows = ``record_id == exemplar_id``.
+    Output adds: ``exact_key`` (only when ``with_key``),
+    ``exemplar_id`` (min record_id of the group), ``is_exact_dup``
+    (true for non-exemplar group members). Selected rows =
+    ``record_id == exemplar_id``. Pass ``with_key=False`` when the
+    caller never reads the key column (``self_deduplicate`` drops it
+    from every output): the sha is then computed only inside the
+    projection pass, not a second time on the wide branch — half the
+    stage's hash compute.
     """
     from pyspark.sql import Window
 
-    keyed = with_exact_key(df, columns)
-    keys = keyed.select(F.col(id_col), F.col(EXACT_KEY))
+    keys = with_exact_key(df, columns).select(F.col(id_col), F.col(EXACT_KEY))
     # group-min via a window over the (id, key) projection: ONE pass
     # computes every row's exemplar, so the duplicate annotation falls
     # out as a filter — the round-5 groupBy + join-back form scanned
@@ -60,6 +66,7 @@ def self_exact_dedup(df: DataFrame, columns, id_col: str = "record_id") -> DataF
         .where(F.col(id_col) != F.col("_ex_min"))
         .select(F.col(id_col), F.col("_ex_min"))
     )
+    keyed = with_exact_key(df, columns) if with_key else df
     out = keyed.join(dup_ann, id_col, "left")
     return out.withColumn(
         "exemplar_id", F.coalesce(F.col("_ex_min"), F.col(id_col))

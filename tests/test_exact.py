@@ -143,3 +143,18 @@ def test_api_idx_keys_projection_matches_index_key_table(spark):
         assert got == want and len(got) == 3
     finally:
         sh.release()
+
+
+def test_self_exact_dedup_with_key_false_matches(spark):
+    """with_key=False must produce the identical annotation minus the
+    exact_key column (the wide branch skips its sha pass)."""
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a"), (3, "c"), (4, "b"), (5, "b")],
+        "record_id long, text string",
+    )
+    full = self_exact_dedup(df, ("text",))
+    slim = self_exact_dedup(df, ("text",), with_key=False)
+    assert "exact_key" in full.columns and "exact_key" not in slim.columns
+    want = {(r.record_id, r.exemplar_id, r.is_exact_dup) for r in full.collect()}
+    got = {(r.record_id, r.exemplar_id, r.is_exact_dup) for r in slim.collect()}
+    assert got == want
