@@ -760,6 +760,66 @@ def load_feats_matrix_blocked(ref: dict):
     return ids, _ShardRows(flats, starts, np.asarray(nrm)), nz, blocks
 
 
+def load_feats_rows(ref: dict):
+    """(ids_sorted, perm, row provider, row norms) for ID-KEYED
+    gathers of normalized f64 embedding rows — the IVF id-only plan's
+    executor-side feature source (guide §8: the salt shuffle carries
+    ids, the payload moves once via the blob).
+
+    Unlike ``load_feats_matrix_blocked`` this pack keeps the shards
+    in their SOURCE dtype (f32 stays f32, f64 stays f64) so gathered
+    rows upcast to exactly the values the Arrow path shipped — scores
+    are bit-identical whichever transport carried the embedding. A
+    record with id ``x`` lives at row ``perm[searchsorted(ids_sorted,
+    x)]``; ``rows[row_idx_array]`` returns normalized f64 rows and
+    ``nrm[row]`` its norm (<= 0 marks zero-norm/NULL semantics). NULL
+    embedding rows are dropped from the pack (absent ids)."""
+
+    id_col, payload_col = ref["id_col"], ref["payload_col"]
+
+    def part_builder(path):
+        ids, values, lens, null_rows = _read_id_payload_files(
+            [path], id_col, payload_col
+        )
+        if null_rows is not None:
+            keep = ~null_rows
+            ids, lens = ids[keep], lens[keep]
+        if len(ids) == 0:
+            return [ids, np.zeros((0, 0), dtype=np.float32)]
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            bad = int(np.argmax(lens != dim))
+            raise ValueError(
+                f"ragged embeddings: row id={ids[bad]} has dim {lens[bad]}, "
+                f"expected {dim}"
+            )
+        return [ids, values.reshape(-1, dim)]
+
+    def finalize_builder(shards):
+        shards = [s for s in shards if len(s[0])]
+        if not shards:
+            return [np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(0)]
+        dims = {s[1].shape[1] for s in shards}
+        if len(dims) != 1:
+            raise ValueError(f"ragged embeddings across parts: dims {sorted(dims)}")
+        ids = np.concatenate([s[0] for s in shards])
+        nrm = np.concatenate(
+            [np.linalg.norm(s[1].astype(np.float64), axis=1) for s in shards]
+        )
+        order = np.argsort(ids, kind="stable")
+        return [ids[order], order.astype(np.int64), nrm]
+
+    (ids_sorted, perm, nrm), shard_groups = _pack_sharded(
+        ref, "rows", part_builder, finalize_builder
+    )
+    flats = [g[1] for g in shard_groups if len(g[0])]
+    starts = np.concatenate(
+        ([0], np.cumsum([f.shape[0] for f in flats])[:-1])
+    ).astype(np.int64) if flats else np.zeros(1, dtype=np.int64)
+    nrm = np.asarray(nrm)
+    return np.asarray(ids_sorted), np.asarray(perm), _ShardRows(flats, starts, nrm), nrm
+
+
 def _feat_bytes(feats: DataFrame, payload_col: str) -> tuple[int, int]:
     """(row_count, estimated payload bytes) of an (id, array) table —
     one aggregate job; 8 bytes per element + 16/row overhead."""
@@ -1265,6 +1325,13 @@ def _cap_rows_sparse(r, c, s, ids_i, max_k):
     return r[keep], c[keep], s[keep]
 
 
+# below this row count the IVF payload-blob plan's fixed cost (blob
+# write job + executor pack) exceeds what the id-only shuffle saves;
+# above it the shuffle carries ids instead of n_probe + n_salt copies
+# of every embedding (guide §8)
+_IVF_BLOB_MIN_ROWS = 100_000
+
+
 def cosine_threshold_edges_ivf(
     feats: DataFrame,
     threshold: float,
@@ -1277,6 +1344,7 @@ def cosine_threshold_edges_ivf(
     seed: int = 42,
     n_rows: int | None = None,
     group_cap: int = 50_000,
+    payload_blob: bool | None = None,
 ) -> DataFrame:
     """All self pairs (a < b, score >= threshold) via coarse IVF
     cells + per-cell fused gemm — the at-scale cosine plan for MID
@@ -1317,11 +1385,36 @@ def cosine_threshold_edges_ivf(
     the cell's min-id members, so >=θ cliques stay connected for
     min-id CC (the star-cap argument, lsh.py:127), and ``max_k``
     bounds per-row edge emission exactly like the fused path.
+
+    ``payload_blob`` (round 6, guide §8): when blob transport is
+    available and the input is large (auto at >=
+    ``_IVF_BLOB_MIN_ROWS``), the salt shuffle ships ONLY
+    (id, cell, salt, home) — the embedding payload moves exactly once
+    into an executor-side blob (``materialize_feats``) and each group
+    GATHERS its rows from the mmap'd shard pack
+    (``load_feats_rows``). Round 5 shipped every embedding through
+    the groupBy shuffle ``n_probe`` times for probes plus once per
+    salt for the replicated home packs, then paid the Arrow list
+    conversion per group — the dominant residual worker RSS at the 1M
+    flagship. Gathered rows upcast to the exact values the Arrow path
+    ships (dtype-preserving shards), so the emitted edges and scores
+    are bit-identical either way (parity pinned in
+    tests/test_review_r6.py).
     """
     from semhash_spark.operators.knn import ivf_probe_cells, train_centroids
 
     if n_rows is None:
         n_rows = feats.count()
+    if payload_blob is None:
+        payload_blob = (
+            n_rows >= _IVF_BLOB_MIN_ROWS
+            and blob_transport_available(feats.sparkSession)
+        )
+    ref = (
+        materialize_feats(feats.select(id_col, emb_col), id_col, emb_col, "ivfrows")
+        if payload_blob
+        else None
+    )
     if n_cells is None:
         # home size ~2k/cell keeps per-cell gemm ~0.5 GFLOP; the cap
         # keeps driver k-means training bounded (train_cap rows)
@@ -1334,11 +1427,12 @@ def cosine_threshold_edges_ivf(
     cap = int(cell_cap)
     mk = max_k
 
+    shuffle_cols = [id_col] if payload_blob else [id_col, emb_col]
     ex = (
         feats.select(id_col, emb_col)
         .withColumn("_cells", ivf_probe_cells(emb_col, cents, n_probe))
         .select(
-            id_col, emb_col,
+            *shuffle_cols,
             F.posexplode("_cells").alias("_pos", "_cell"),
         )
     )
@@ -1371,7 +1465,7 @@ def cosine_threshold_edges_ivf(
             "_salt", F.explode(F.sequence(F.lit(0), F.col("_salts") - 1))
         )
         .withColumn("_home", F.lit(True))
-        .select(id_col, emb_col, "_cell", "_salt", "_home")
+        .select(*shuffle_cols, "_cell", "_salt", "_home")
     )
     probes = (
         ex.withColumn(
@@ -1379,7 +1473,7 @@ def cosine_threshold_edges_ivf(
             F.pmod(F.xxhash64(F.col(id_col)), F.col("_salts")).cast("int"),
         )
         .withColumn("_home", F.lit(False))
-        .select(id_col, emb_col, "_cell", "_salt", "_home")
+        .select(*shuffle_cols, "_cell", "_salt", "_home")
     )
     grouped = pack.unionByName(probes)
 
@@ -1414,11 +1508,32 @@ def cosine_threshold_edges_ivf(
         if len(pdf) < 2:
             return pd.DataFrame(_empty)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        x = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-        )
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        xm = np.divide(x, xn, out=x, where=xn > 0)  # zero rows stay 0
+        if ref is not None:
+            # id-only group: gather normalized rows from the blob pack
+            ids_sorted, perm, rowsrc, nrm_rows = load_feats_rows(ref)
+            p = np.searchsorted(ids_sorted, ids)
+            p = np.clip(p, 0, max(len(ids_sorted) - 1, 0))
+            ok = (
+                (ids_sorted[p] == ids)
+                if len(ids_sorted)
+                else np.zeros(len(ids), bool)
+            )
+            if not ok.all():  # NULL-embedding ids are absent from the pack
+                pdf = pdf[ok]
+                ids = ids[ok]
+                p = p[ok]
+                if len(pdf) < 2:
+                    return pd.DataFrame(_empty)
+            rows = perm[p]
+            xm = rowsrc[rows]
+            xzero = nrm_rows[rows] <= 0
+        else:
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xm = np.divide(x, xn, out=x, where=xn > 0)  # zero rows stay 0
+            xzero = xn.ravel() <= 0
         home = pdf["_home"].to_numpy(dtype=bool)
         h_idx = np.flatnonzero(home)
         # probe side = the non-pack rows only: every pack row's own
@@ -1437,7 +1552,7 @@ def cosine_threshold_edges_ivf(
         nz_h = np.linalg.norm(hm, axis=1) > 0
         p_ids = ids[p_idx]
         pm = xm[p_idx]
-        p_zero = (xn.ravel() <= 0)[p_idx]
+        p_zero = xzero[p_idx]
         outs = []
         for r, c, s in _chunked_threshold(
             p_ids, pm, p_zero, h_ids, hm, h_blk, nz_h, thr, mk,

@@ -217,3 +217,40 @@ def test_streaming_candidate_pairs_match_relational(spark):
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
         want = _relational_pairs(spark, rows, cap)
         assert got == want and len(got) > 500, (cap, batch, len(got), len(want))
+
+
+def test_ivf_payload_blob_matches_arrow_shuffle(spark):
+    """The IVF id-only plan (payload_blob=True: ids through the salt
+    shuffle, embeddings gathered from the executor blob) must emit
+    the IDENTICAL edge set and bit-exact scores as the round-5
+    payload-shuffle plan, for f32 AND f64 embedding columns, with a
+    zero-norm row present, under forced salting. (NULL embeddings are
+    not an IVF input in either plan: train_centroids rejects them, and
+    featurize never emits one.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n = 800
+    base = rng.standard_normal((n, 12))
+    base[:60] = base[0] + 0.02 * rng.standard_normal((60, 12))  # clique
+    for dtype, sqltype in ((np.float32, "float"), (np.float64, "double")):
+        emb = [base[i].astype(dtype).tolist() for i in range(n)]
+        emb[9] = [0.0] * 12
+        df = spark.createDataFrame(
+            pd.DataFrame({"record_id": np.arange(n), "embedding": emb}),
+            schema=f"record_id long, embedding array<{sqltype}>",
+        ).repartition(5, F.col("record_id")).persist()
+        df.count()
+        kw = dict(n_cells=8, n_probe=2, cell_cap=50, max_k=20,
+                  n_rows=n, group_cap=64)
+        a = V.cosine_threshold_edges_ivf(
+            df, 0.8, "record_id", "embedding", payload_blob=False, **kw
+        ).collect()
+        b = V.cosine_threshold_edges_ivf(
+            df, 0.8, "record_id", "embedding", payload_blob=True, **kw
+        ).collect()
+        sa = sorted((r.a, r.b, r.score) for r in a)
+        sb = sorted((r.a, r.b, r.score) for r in b)
+        assert sa == sb and len(sa) > 50, (dtype, len(sa), len(sb))
+        df.unpersist()
