@@ -81,6 +81,13 @@ class RssSampler:
         # realistic number: on a cluster the JVM heap is provisioned
         # separately while worker RSS is what memoryOverhead must cover
         self.peak_workers_gb = 0.0
+        # PSS sum over the same workers (smaps_rollup, sampled every
+        # 4th tick — pricier kernel walk): VmRSS charges a shared
+        # mmap'd blob pack once PER WORKER, so the RSS sum over 32
+        # workers over-counts the one physical copy up to 32x; PSS
+        # divides shared pages by their mapper count, matching how a
+        # cgroup/executor memory limit actually charges them
+        self.peak_workers_pss_gb = 0.0
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
 
@@ -105,9 +112,12 @@ class RssSampler:
         return out
 
     def _run(self) -> None:
+        tick = 0
         while not self._stop.is_set():
             total = 0
             workers = 0
+            pss = 0
+            do_pss = tick % 4 == 0
             for pid in self._descendants():
                 try:
                     with open(f"/proc/{pid}/cmdline", "rb") as fh:
@@ -120,10 +130,21 @@ class RssSampler:
                                 if is_worker:
                                     workers += kb
                                 break
+                    if do_pss and is_worker:
+                        with open(f"/proc/{pid}/smaps_rollup") as fh:
+                            for line in fh:
+                                if line.startswith("Pss:"):
+                                    pss += int(line.split()[1])
+                                    break
                 except OSError:
                     continue
             self.peak_gb = max(self.peak_gb, total / (1 << 20))
             self.peak_workers_gb = max(self.peak_workers_gb, workers / (1 << 20))
+            if do_pss:
+                self.peak_workers_pss_gb = max(
+                    self.peak_workers_pss_gb, pss / (1 << 20)
+                )
+            tick += 1
             self._stop.wait(0.5)
 
     def start(self) -> "RssSampler":
@@ -241,6 +262,7 @@ def main() -> None:
         "n_selected": n_sel, "n_filtered": n_fil,
         "runs": runs, "peak_rss_gb": peak_rss_gb,
         "peak_rss_workers_gb": round(rss.peak_workers_gb, 2),
+        "peak_rss_workers_pss_gb": round(rss.peak_workers_pss_gb, 2),
         "canary_before_sec": round(c0, 2), "canary_after_sec": round(c1, 2),
         "membw_before_sec": round(m0, 2), "membw_after_sec": round(m1, 2),
     }))
