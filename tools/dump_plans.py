@@ -48,6 +48,12 @@ def main() -> None:
                            num_perm=128, bands=32)
     keyed = self_exact_dedup(corpus, code_cfg.columns, "record_id")
     dump("exact_stage", keyed)
+    try:
+        dump("exact_stage_nokey",
+             self_exact_dedup(corpus, code_cfg.columns, "record_id",
+                              with_key=False))
+    except TypeError:
+        pass  # round-start tree: no with_key parameter
     exemplars = keyed.where(~F.col("is_exact_dup"))
     feats = add_features(exemplars, code_cfg, "minhash").select(
         "record_id", "shingles", "sig").persist()
