@@ -144,12 +144,7 @@ class SparkSemHash:
         # cross blobs, verify rehydration, the embedding blob) selects
         # exactly these — the full-width persist duplicated the content
         # payload already held by the exemplar cache
-        feat_cols = {
-            "minhash": ["shingles", "sig"],
-            "simhash": ["shingles", "sim64"],
-            "cosine": [cfg.embedding_col],
-            "jaccard_exact": ["shingles"],
-        }[self.mode]
+        feat_cols = dedup_ops.mode_feature_cols(self.mode, cfg)
         self._feats = dedup_ops.add_features(self._exemplars, cfg, self.mode).select(
             cfg.id_col, *feat_cols
         ).persist()

@@ -38,6 +38,15 @@ from semhash_spark.operators.lsh import candidate_pairs_self
 _BLOB_MIN_PAIRS = 250_000
 
 
+def _safe_unpersist(df) -> None:
+    """weakref.finalize target: unpersisting after the owning session
+    stopped (or at interpreter shutdown) must never raise."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def anchor_table(
     feats: DataFrame,
     shingle_col: str = "shingles",
@@ -150,6 +159,14 @@ def containment_edges(
         cands, feats.select(id_col, "shingles"), "shingles", id_col,
         cfg.containment_threshold, strategy=strategy,
     ).select("a", "b", "score")
+    if persisted is None:
+        # no caller-owned cache list: tie the candidate cache's
+        # lifetime to the returned frame so a long-lived session
+        # doesn't accumulate dead caches (an early collection merely
+        # recomputes — never wrong)
+        import weakref
+
+        weakref.finalize(scored, _safe_unpersist, cands)
 
     if confirm_substring and content_df is not None:
         c = content_df.select(F.col(id_col), F.col(content_col))

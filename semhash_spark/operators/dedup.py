@@ -50,6 +50,23 @@ from semhash_spark.operators.verify import verify_cosine, verify_jaccard
 
 _TEXT_MODES = ("minhash", "simhash", "jaccard_exact")
 
+# the feature columns each mode's add_features attaches — the single
+# source of truth for every narrow feature projection (api.fit's
+# persisted memo, self_deduplicate's feats select)
+MODE_FEATURE_COLS = {
+    "minhash": ("shingles", "sig"),
+    "simhash": ("shingles", "sim64"),
+    "cosine": None,  # cfg.embedding_col — resolved at the call site
+    "jaccard_exact": ("shingles",),
+}
+
+
+def mode_feature_cols(mode: str, cfg) -> list[str]:
+    if mode not in MODE_FEATURE_COLS:
+        raise ValueError(f"unknown mode {mode!r}")
+    cols = MODE_FEATURE_COLS[mode]
+    return [cfg.embedding_col] if cols is None else list(cols)
+
 
 def add_features(df: DataFrame, cfg: DedupConfig, mode: str) -> DataFrame:
     """Attach the feature column(s) a mode needs.
@@ -208,12 +225,7 @@ def self_deduplicate(
 
     # featurize exemplars only — the reference's "embed uniques only"
     # optimization (semhash/semhash.py:71-88).
-    feat_cols = {
-        "minhash": ["shingles", "sig"],
-        "simhash": ["shingles", "sim64"],
-        "cosine": [cfg.embedding_col],
-        "jaccard_exact": ["shingles"],
-    }[mode]
+    feat_cols = mode_feature_cols(mode, cfg)
     feats = ck(
         f"features_{mode}",
         lambda: add_features(exemplars, cfg, mode).select(id_col, *feat_cols),

@@ -665,8 +665,16 @@ class _ShardRows:
             for k in np.unique(sh):
                 m = sh == k
                 out[m] = self._flats[k][idx[m] - self._starts[k]]
+        # divide IN PLACE (one buffer, not a second zeros allocation —
+        # gathers run inside the rescore hot loop): rows with nr <= 0
+        # are all-zero raw vectors, zeroed explicitly to mirror the
+        # whole-matrix np.divide(..., where=) semantics bit-for-bit
         nr = self._nrm[idx][:, None]
-        return np.divide(out, nr, out=np.zeros_like(out), where=nr > 0)
+        pos = nr > 0
+        np.divide(out, nr, out=out, where=pos)
+        if not pos.all():
+            out[~pos.ravel()] = 0.0
+        return out
 
 
 def load_feats_matrix_blocked(ref: dict):
