@@ -95,6 +95,12 @@ class DedupConfig:
     # groups OOM'd a 128 GiB box at 1M rows), so group size is bounded
     # by salting the probe stream and replicating the capped home pack
     ivf_group_cap: int = 50000
+    # IVF salt-shuffle payload routing (verify.cosine_threshold_edges_ivf):
+    # None -> auto (id-only shuffle + executor-blob row gathers when
+    # blob transport is available and the input is >= 100k rows);
+    # True/False force the id-only / payload-shuffle plan (results are
+    # bit-identical either way — this only picks the transport)
+    ivf_payload_blob: bool | None = None
     # per-row neighbor cap in the FUSED cosine kernels — the
     # reference's ANN result cap (max_k=100, semhash/index.py:59).
     # Bounds edge emission for mega-clusters (an m-member >=θ clique

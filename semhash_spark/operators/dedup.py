@@ -285,6 +285,7 @@ def self_deduplicate(
                 cell_cap=cfg.ivf_cell_cap, max_k=cfg.cosine_max_k,
                 seed=cfg.hyperplane_seed, n_rows=n_feats,
                 group_cap=cfg.ivf_group_cap,
+                payload_blob=cfg.ivf_payload_blob,
             ),
         )
     else:

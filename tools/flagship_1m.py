@@ -172,6 +172,11 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true",
                     help="plant an n/10-member boilerplate mega-bucket")
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--ivf-payload", default="auto",
+                    choices=["auto", "blob", "shuffle"],
+                    help="IVF salt-shuffle payload routing A/B: blob = "
+                         "id-only shuffle + executor-blob gathers, "
+                         "shuffle = round-5 payload shuffle")
     ap.add_argument("--ivf-group-cap", type=int, default=None,
                     help="override DedupConfig.ivf_group_cap (salted "
                          "probe-group bound; output-invariant)")
@@ -208,6 +213,8 @@ def main() -> None:
         cfg = cfg.with_(driver_cc_cap=0)
     if args.ivf_group_cap is not None:
         cfg = cfg.with_(ivf_group_cap=args.ivf_group_cap)
+    if args.ivf_payload != "auto":
+        cfg = cfg.with_(ivf_payload_blob=args.ivf_payload == "blob")
 
     c0 = canary_seconds()
     m0 = membw_canary_seconds()
